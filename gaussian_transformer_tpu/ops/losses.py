@@ -24,10 +24,15 @@ def l2_loss(network_output, gt):
 
 @functools.lru_cache(maxsize=None)
 def _gaussian_window(window_size: int, sigma: float):
-    xs = [math.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2)) for x in range(window_size)]
-    g = jnp.asarray(xs, dtype=jnp.float32)
-    g = g / jnp.sum(g)
-    return jnp.outer(g, g)
+    # numpy (not jnp) so the cached value is a host constant, never a tracer.
+    import numpy as np
+
+    xs = np.asarray(
+        [math.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2)) for x in range(window_size)],
+        dtype=np.float32,
+    )
+    xs = xs / xs.sum()
+    return np.outer(xs, xs)
 
 
 def _filter2d_same(img, window):

@@ -1,0 +1,304 @@
+"""3DGS per-scene optimization (the reference's canonical trainer).
+
+Parity target: ``/root/reference/train.py`` — random-camera loop, L1 +
+lambda*(1-SSIM) loss (:86-93), exponential xyz lr schedule + SH degree bump
+every 1000 iters (:69-73), densify/prune window with max-radii tracking
+(:113-123), periodic PLY saves and full-state checkpoints (:108-110, 130-132).
+
+TPU-native structure: ONE jitted train step (loss -> grads -> Adam -> stats),
+jitted densify/reset edits on the capacity-padded scene, and a thin host loop
+that only sequences them, pops cameras, and does IO. Screen-space mean
+gradients are harvested by differentiating w.r.t. an explicit zero offset
+instead of the reference's ``retain_grad`` trick.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussian_transformer_tpu.ops.losses import l1_loss, ssim
+from gaussian_transformer_tpu.render import RenderConfig, render
+from gaussian_transformer_tpu.scene.densify import (
+    DensifyStats,
+    add_densification_stats,
+    densify_and_prune,
+    reset_opacity,
+)
+from gaussian_transformer_tpu.train.optim import (
+    PARAM_LEAVES,
+    AdamState,
+    adam_step,
+    expon_lr,
+    leaf_learning_rates,
+)
+from gaussian_transformer_tpu.utils.image import psnr
+
+
+@dataclasses.dataclass(frozen=True)
+class OptConfig:
+    """Hashable copy of the OptimizationParams group so it can ride as a static
+    jit argument (defaults: arguments/__init__.py:71-90)."""
+
+    iterations: int = 30_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 500
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 100
+    densify_until_iter: int = 10_000
+    densify_grad_threshold: float = 0.0002
+    random_background: bool = False
+
+    @staticmethod
+    def from_args(args) -> "OptConfig":
+        fields = {f.name for f in dataclasses.fields(OptConfig)}
+        return OptConfig(**{k: v for k, v in vars(args).items() if k in fields})
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "render_cfg"), donate_argnums=(0, 1, 2))
+def train_step(
+    scene,
+    adam: AdamState,
+    stats: DensifyStats,
+    camera,
+    bg: jnp.ndarray,
+    iteration: jnp.ndarray,
+    spatial_lr_scale: jnp.ndarray,
+    opt: OptConfig,
+    render_cfg: RenderConfig,
+):
+    """One optimization step on one camera. Returns
+    (scene, adam, stats, metrics dict)."""
+    params = {k: getattr(scene, k) for k in PARAM_LEAVES}
+    offset = jnp.zeros((scene.capacity, 2), scene.xyz.dtype)
+    gt = camera.original_image
+
+    def loss_fn(params, offset):
+        s = scene.replace(**params)
+        out = render(camera, s, render_cfg, bg_color=bg, screenspace_offset=offset)
+        img = out["render"]
+        l1 = l1_loss(img, gt)
+        loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim(img, gt))
+        return loss, (out["visibility_filter"], out["radii"], l1)
+
+    (loss, (vis, radii, l1)), (gparams, goffset) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, offset)
+
+    xyz_lr = expon_lr(
+        iteration,
+        opt.position_lr_init * spatial_lr_scale,
+        opt.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps,
+    )
+    scene, adam = adam_step(scene, gparams, adam, leaf_learning_rates(opt, xyz_lr))
+    stats = add_densification_stats(stats, goffset, vis, radii)
+    metrics = {"loss": loss, "l1": l1, "n_visible": jnp.sum(vis.astype(jnp.int32)), "radii": radii}
+    return scene, adam, stats, metrics
+
+
+_densify_jit = jax.jit(
+    densify_and_prune,
+    static_argnames=("max_grad", "min_opacity", "extent", "max_screen_size", "percent_dense"),
+)
+_reset_opacity_jit = jax.jit(reset_opacity)
+
+
+def capture(scene, adam, stats, iteration, spatial_lr_scale) -> dict:
+    """Full-state checkpoint payload (reference capture(),
+    gaussian_model.py:61-76) as a flat npz-able dict."""
+    out = {"iteration": np.asarray(iteration), "spatial_lr_scale": np.asarray(spatial_lr_scale),
+           "active_sh_degree": np.asarray(scene.active_sh_degree),
+           "max_sh_degree": np.asarray(scene.max_sh_degree),
+           "alive": np.asarray(scene.alive)}
+    for k in PARAM_LEAVES:
+        out[f"param.{k}"] = np.asarray(getattr(scene, k))
+        out[f"adam.mu.{k}"] = np.asarray(adam.mu[k])
+        out[f"adam.nu.{k}"] = np.asarray(adam.nu[k])
+        out[f"adam.count.{k}"] = np.asarray(adam.counts[k])
+    out["stats.accum"] = np.asarray(stats.xyz_gradient_accum)
+    out["stats.denom"] = np.asarray(stats.denom)
+    out["stats.max_radii2d"] = np.asarray(stats.max_radii2d)
+    return out
+
+
+def restore(payload: dict):
+    """Inverse of capture(). Returns (scene, adam, stats, iteration, spatial_lr_scale)."""
+    from gaussian_transformer_tpu.scene.gaussians import GaussianScene
+
+    params = {k: jnp.asarray(payload[f"param.{k}"]) for k in PARAM_LEAVES}
+    scene = GaussianScene(
+        alive=jnp.asarray(payload["alive"]),
+        active_sh_degree=int(payload["active_sh_degree"]),
+        max_sh_degree=int(payload["max_sh_degree"]),
+        **params,
+    )
+    adam = AdamState(
+        mu={k: jnp.asarray(payload[f"adam.mu.{k}"]) for k in PARAM_LEAVES},
+        nu={k: jnp.asarray(payload[f"adam.nu.{k}"]) for k in PARAM_LEAVES},
+        counts={k: jnp.asarray(payload[f"adam.count.{k}"]) for k in PARAM_LEAVES},
+    )
+    stats = DensifyStats(
+        xyz_gradient_accum=jnp.asarray(payload["stats.accum"]),
+        denom=jnp.asarray(payload["stats.denom"]),
+        max_radii2d=jnp.asarray(payload["stats.max_radii2d"]),
+    )
+    return scene, adam, stats, int(payload["iteration"]), float(payload["spatial_lr_scale"])
+
+
+def training(
+    scene_obj,
+    opt: OptConfig,
+    render_cfg: RenderConfig = RenderConfig(),
+    *,
+    white_background: bool = False,
+    testing_iterations: Sequence[int] = (),
+    saving_iterations: Sequence[int] = (),
+    checkpoint_iterations: Sequence[int] = (),
+    start_checkpoint: Optional[str] = None,
+    seed: int = 0,
+    log_fn=None,
+    capacity_headroom: float = 4.0,
+    progress: bool = True,
+):
+    """The full train.py loop against a Scene orchestrator object.
+
+    ``capacity_headroom``: the scene starts at ceil(N * headroom) capacity so
+    densification has free slots; when >90% full it is compacted to a larger
+    capacity on the host (the TPU replacement for torch tensor growth).
+    """
+    gaussians = scene_obj.gaussians
+    n0 = int(np.asarray(gaussians.num_alive))
+    cap0 = max(256, int(n0 * capacity_headroom))
+    gaussians = gaussians.compact(cap0)
+
+    adam = AdamState.init(gaussians)
+    stats = DensifyStats.init(gaussians.capacity)
+    spatial_lr_scale = float(scene_obj.cameras_extent)
+    first_iter = 0
+
+    if start_checkpoint:
+        payload = dict(np.load(start_checkpoint, allow_pickle=False))
+        gaussians, adam, stats, first_iter, spatial_lr_scale = restore(payload)
+
+    bg = jnp.ones(3, jnp.float32) if white_background else jnp.zeros(3, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+
+    viewpoint_stack = []
+    ema_loss = 0.0
+    t_iter_ema = 0.0
+    cameras = scene_obj.get_train_cameras()
+    assert cameras, "no training cameras"
+
+    rng = np.random.RandomState(seed)
+    iter_range = range(first_iter + 1, opt.iterations + 1)
+    if progress:
+        from tqdm import tqdm
+
+        iter_range = tqdm(iter_range, desc="Training")
+
+    for iteration in iter_range:
+        t0 = time.time()
+        # SH degree bump every 1000 iters (train.py:69-73).
+        if iteration % 1000 == 0:
+            gaussians = gaussians.oneup_sh_degree()
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(cameras)
+        cam = viewpoint_stack.pop(rng.randint(len(viewpoint_stack)))
+
+        step_bg = bg
+        if opt.random_background:
+            key, sub = jax.random.split(key)
+            step_bg = jax.random.uniform(sub, (3,))
+
+        gaussians, adam, stats, metrics = train_step(
+            gaussians, adam, stats, cam, step_bg,
+            jnp.asarray(iteration, jnp.float32), jnp.asarray(spatial_lr_scale, jnp.float32),
+            opt, render_cfg,
+        )
+
+        # Densification window (train.py:113-123).
+        if iteration < opt.densify_until_iter:
+            if iteration > opt.densify_from_iter and iteration % opt.densification_interval == 0:
+                key, sub = jax.random.split(key)
+                size_threshold = 20.0 if iteration > opt.opacity_reset_interval else 0.0
+                gaussians, adam, stats, report = _densify_jit(
+                    gaussians, adam, stats, sub,
+                    max_grad=opt.densify_grad_threshold, min_opacity=0.005,
+                    extent=spatial_lr_scale, max_screen_size=size_threshold,
+                    percent_dense=opt.percent_dense,
+                )
+                # Host-side capacity bump if densification is running out of room.
+                n_alive = int(np.asarray(gaussians.num_alive))
+                if int(np.asarray(report.n_dropped)) > 0 or n_alive > 0.9 * gaussians.capacity:
+                    from gaussian_transformer_tpu.train.optim import compact_state
+
+                    new_cap = max(int(gaussians.capacity * 2), 256)
+                    adam = compact_state(adam, gaussians.alive, new_cap)
+                    gaussians = gaussians.compact(new_cap)
+                    stats = DensifyStats.init(new_cap)
+            if (
+                iteration % opt.opacity_reset_interval == 0
+                or (white_background and iteration == opt.densify_from_iter)
+            ):
+                gaussians, adam = _reset_opacity_jit(gaussians, adam)
+
+        loss_f = float(metrics["loss"])
+        ema_loss = 0.4 * loss_f + 0.6 * ema_loss
+        t_iter_ema = 0.4 * (time.time() - t0) + 0.6 * t_iter_ema
+        if progress and iteration % 10 == 0:
+            iter_range.set_postfix({"Loss": f"{ema_loss:.5f}", "n": int(np.asarray(gaussians.num_alive))})
+
+        if log_fn is not None:
+            log_fn(
+                iteration=iteration, metrics=metrics, ema_loss=ema_loss,
+                iter_time=t_iter_ema, gaussians=gaussians,
+                scene_obj=scene_obj, render_cfg=render_cfg, bg=bg,
+                testing=(iteration in testing_iterations),
+            )
+
+        if iteration in saving_iterations:
+            scene_obj.gaussians = gaussians
+            scene_obj.save(iteration)
+        if iteration in checkpoint_iterations:
+            os.makedirs(scene_obj.model_path, exist_ok=True)
+            np.savez(
+                os.path.join(scene_obj.model_path, f"chkpnt{iteration}.npz"),
+                **capture(gaussians, adam, stats, iteration, spatial_lr_scale),
+            )
+
+    scene_obj.gaussians = gaussians
+    return gaussians
+
+
+def evaluate_psnr(gaussians, cameras, render_cfg=RenderConfig(), bg=None, max_cameras=None):
+    """Mean PSNR/L1 over a camera list (the training_report eval,
+    train.py:156-191)."""
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+    cams = cameras[:max_cameras] if max_cameras else cameras
+    psnrs, l1s = [], []
+    for cam in cams:
+        img = jnp.clip(render(cam, gaussians, render_cfg, bg_color=bg)["render"], 0.0, 1.0)
+        gt = jnp.clip(cam.original_image, 0.0, 1.0)
+        psnrs.append(float(jnp.mean(psnr(img, gt))))
+        l1s.append(float(l1_loss(img, gt)))
+    return float(np.mean(psnrs)), float(np.mean(l1s))
