@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: pixels/s per chip, forward+backward, 1080p.
+
+Matches the driver metric in BASELINE.json ("rays/s (pixels/s) per chip
+fwd+bwd at 1080p"). The workload is one full train_step (render forward,
+L1+SSIM loss, backward through compositing/binning/projection, Adam update) on
+the bundled table_ds point cloud (17,618 Gaussians) at 1920x1080.
+
+vs_baseline normalizes against upstream CUDA 3DGS throughput on a datacenter
+GPU: ~20 train iters/s at ~1080p ≈ 4.15e7 pixels/s fwd+bwd (upstream paper's
+"~30 min for 30k iterations"; the reference repo itself publishes no numbers —
+see BASELINE.md).
+
+Prints ONE JSON line.
+"""
+
+import json
+import math
+import time
+
+import numpy as np
+
+BASELINE_PIXELS_PER_S = 4.15e7
+WIDTH, HEIGHT = 1920, 1080
+WARMUP, ITERS = 2, 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_transformer_tpu.render import RenderConfig
+    from gaussian_transformer_tpu.scene.cameras import Camera
+    from gaussian_transformer_tpu.scene.gaussians import GaussianScene
+    from gaussian_transformer_tpu.scene.densify import DensifyStats
+    from gaussian_transformer_tpu.scene.ply import fetch_point_cloud
+    from gaussian_transformer_tpu.train.optim import AdamState
+    from gaussian_transformer_tpu.train.splat import OptConfig, train_step
+
+    pcd = fetch_point_cloud("/root/reference/table_ds/sparse/0/points3D.ply")
+    scene = GaussianScene.from_pcd(pcd, max_sh_degree=1)
+    center = pcd.points.mean(0)
+    extent = float(np.abs(pcd.points - center).max())
+
+    rng = np.random.RandomState(0)
+    cam = Camera.create(
+        colmap_id=0, R=np.eye(3), T=np.asarray(-center + np.array([0, 0, extent * 2.0])),
+        fovx=math.radians(70), fovy=math.radians(70 * HEIGHT / WIDTH),
+        image=rng.rand(3, HEIGHT, WIDTH).astype(np.float32), gt_alpha_mask=None,
+        image_name="bench", uid=0,
+    )
+
+    opt = OptConfig()
+    cfg = RenderConfig(max_per_tile=1024)
+    adam = AdamState.init(scene)
+    stats = DensifyStats.init(scene.capacity)
+    bg = jnp.zeros(3, jnp.float32)
+    slrs = jnp.asarray(extent, jnp.float32)
+
+    for i in range(WARMUP):
+        scene, adam, stats, m = train_step(
+            scene, adam, stats, cam, bg, jnp.asarray(i + 1.0), slrs, opt, cfg
+        )
+        float(m["loss"])  # full sync (block_until_ready alone is unreliable on axon)
+
+    t0 = time.time()
+    for i in range(ITERS):
+        scene, adam, stats, m = train_step(
+            scene, adam, stats, cam, bg, jnp.asarray(i + 10.0), slrs, opt, cfg
+        )
+        float(m["loss"])
+    dt = time.time() - t0
+
+    pixels_per_s = WIDTH * HEIGHT * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_step pixels/s per chip (fwd+bwd, 1080p, 17.6k gaussians)",
+                "value": round(pixels_per_s, 1),
+                "unit": "pixels/s",
+                "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
