@@ -40,8 +40,11 @@ class RenderConfig:
     debug: bool = struct.field(pytree_node=False, default=False)
     # Static per-tile list capacity. Front-to-back saturation means overflow
     # drops only the farthest (least-weighted) Gaussians.
-    max_per_tile: int = struct.field(pytree_node=False, default=1024)
-    tile_chunk: int = struct.field(pytree_node=False, default=256)
+    max_per_tile: int = struct.field(pytree_node=False, default=256)
+    # Static cap on tiles covered per gaussian (instance-sort binning).
+    max_tiles_per_gaussian: int = struct.field(pytree_node=False, default=128)
+    # Global (gaussian, tile) instance budget; 0 = auto (16 * capacity).
+    max_instances: int = struct.field(pytree_node=False, default=0)
     tile_block: int = struct.field(pytree_node=False, default=64)
 
 
@@ -106,7 +109,8 @@ def render(
         grid_w=grid_w,
         grid_h=grid_h,
         max_per_tile=cfg.max_per_tile,
-        tile_chunk=cfg.tile_chunk,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        max_instances=cfg.max_instances,
     )
 
     order = binned.order

@@ -50,7 +50,8 @@ def compute_rects(means2d: jnp.ndarray, radii: jnp.ndarray, grid_w: int, grid_h:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_w", "grid_h", "max_per_tile", "tile_chunk")
+    jax.jit,
+    static_argnames=("grid_w", "grid_h", "max_per_tile", "max_tiles_per_gaussian", "max_instances"),
 )
 def bin_gaussians(
     means2d: jnp.ndarray,
@@ -61,9 +62,18 @@ def bin_gaussians(
     grid_w: int,
     grid_h: int,
     max_per_tile: int,
-    tile_chunk: int = 256,
+    max_tiles_per_gaussian: int = 128,
+    max_instances: int = 0,
 ) -> Binned:
-    """Build depth-ordered per-tile index lists.
+    """Build depth-ordered per-tile index lists via an instance sort.
+
+    The GPU rasterizer duplicates one instance per (Gaussian, covered tile) and
+    radix-sorts by (tile, depth); the TPU version does the same with XLA:
+    Gaussians are globally depth-sorted once, each emits up to
+    ``max_tiles_per_gaussian`` (tile-id, gaussian) instances from its screen
+    rect, and ONE stable ``lax.sort`` by tile id yields contiguous per-tile
+    runs that inherit front-to-back order. Per-tile lists are then a
+    ``searchsorted`` + gather — no per-tile scans over all Gaussians.
 
     Args:
       include: [C] bool — which Gaussians may contribute at all (radius > 0,
@@ -71,10 +81,18 @@ def bin_gaussians(
 
     Returns ``Binned``; ``tile_lists`` entries index into depth-sorted arrays
     (i.e. apply ``order`` to projection outputs first), with ``C`` as the
-    padding sentinel.
+    padding sentinel. ``overflow`` counts instances lost to any static cap
+    (per-gaussian tile coverage, global instance budget, per-tile K).
+
+    ``max_instances``: global (gaussian, tile) instance budget — the sort runs
+    over this many elements, NOT over C*R (instances are compacted first, so
+    generous coverage caps stay cheap). 0 = 16*C rounded up to 8192.
     """
     C = means2d.shape[0]
     T = grid_w * grid_h
+    R = max_tiles_per_gaussian
+    K = max_per_tile
+    I = max_instances if max_instances > 0 else max(8192, 16 * C)
 
     sort_key = jnp.where(include, depths, jnp.inf)
     order = jnp.argsort(sort_key).astype(jnp.int32)
@@ -84,36 +102,53 @@ def bin_gaussians(
     include_s = include[order]
 
     min_x, min_y, max_x, max_y = compute_rects(means2d_s, radii_s, grid_w, grid_h)
+    w = max_x - min_x  # [C] tiles covered horizontally
+    cov_raw = w * (max_y - min_y)
+    cov_raw = jnp.where(include_s, cov_raw, 0)
+    cov = jnp.minimum(cov_raw, R)
 
-    tile_ids = jnp.arange(T, dtype=jnp.int32)
-    tx = tile_ids % grid_w
-    ty = tile_ids // grid_w
+    # Instance layout without materializing [C, R]: gaussian i owns the
+    # contiguous instance range [offsets[i], offsets[i] + cov[i]). The
+    # instance -> gaussian map is scatter-max + cummax (owner of slot j is
+    # max{i : offsets[i] <= j}) — searchsorted lowers poorly on TPU.
+    offsets = jnp.concatenate([jnp.zeros(1, cov.dtype), jnp.cumsum(cov)[:-1]])
+    total = offsets[-1] + cov[-1]
+    j = jnp.arange(I, dtype=jnp.int32)
+    seed = jnp.full((I,), -1, jnp.int32)
+    marks = seed.at[offsets].max(jnp.arange(C, dtype=jnp.int32), mode="drop")
+    gauss_i = jax.lax.cummax(marks)
+    inst_valid = (j < total) & (gauss_i >= 0)
+    gi_safe = jnp.clip(gauss_i, 0, C - 1)
+    r_i = j - offsets[gi_safe]
+    gauss_i = jnp.where(inst_valid, gi_safe, C).astype(jnp.int32)
 
-    def one_chunk(tx_c, ty_c):
-        # [chunk, C] overlap mask.
-        m = (
-            include_s[None, :]
-            & (min_x[None, :] <= tx_c[:, None])
-            & (tx_c[:, None] < max_x[None, :])
-            & (min_y[None, :] <= ty_c[:, None])
-            & (ty_c[:, None] < max_y[None, :])
-        )
-        counts = jnp.sum(m.astype(jnp.int32), axis=1)
+    # Instance r of gaussian i covers tile (min_x + r%w, min_y + r//w).
+    w_safe = jnp.maximum(w, 1)
+    tx = min_x[gi_safe] + r_i % w_safe[gi_safe]
+    ty = min_y[gi_safe] + r_i // w_safe[gi_safe]
+    tile_id = jnp.where(inst_valid, ty * grid_w + tx, T).astype(jnp.int32)
 
-        def select(row):
-            (idx,) = jnp.nonzero(row, size=max_per_tile, fill_value=C)
-            return idx.astype(jnp.int32)
+    # Stable sort by tile id: per-tile runs inherit global front-to-back order.
+    sorted_tiles, sorted_payload = jax.lax.sort_key_val(tile_id, gauss_i, is_stable=True)
 
-        lists = jax.vmap(select)(m)
-        return lists, counts
+    # Per-tile run boundaries via histogram + exclusive cumsum (cheaper on TPU
+    # than searchsorted over the sorted keys).
+    counts = jnp.zeros((T + 1,), jnp.int32).at[tile_id].add(1, mode="drop")[:T]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
 
-    n_chunks = (T + tile_chunk - 1) // tile_chunk
-    pad = n_chunks * tile_chunk - T
-    tx_p = jnp.pad(tx, (0, pad)).reshape(n_chunks, tile_chunk)
-    ty_p = jnp.pad(ty, (0, pad), constant_values=grid_h).reshape(n_chunks, tile_chunk)
+    k = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+    pos = jnp.minimum(starts[:, None] + k, I - 1)
+    gidx = sorted_payload[pos]
+    tile_lists = jnp.where(k < counts[:, None], gidx, C).astype(jnp.int32)
 
-    lists, counts = jax.lax.map(lambda args: one_chunk(*args), (tx_p, ty_p))
-    tile_lists = lists.reshape(-1, max_per_tile)[:T]
-    tile_counts = counts.reshape(-1)[:T]
-    overflow = jnp.sum(jnp.maximum(tile_counts - max_per_tile, 0))
-    return Binned(order=order, tile_lists=tile_lists, tile_counts=jnp.minimum(tile_counts, max_per_tile), overflow=overflow)
+    overflow = (
+        jnp.sum(jnp.maximum(counts - K, 0))  # per-tile K cap
+        + jnp.sum(cov_raw - cov)  # per-gaussian coverage cap
+        + jnp.maximum(total - I, 0)  # global instance budget
+    )
+    return Binned(
+        order=order,
+        tile_lists=tile_lists,
+        tile_counts=jnp.minimum(counts, K),
+        overflow=overflow,
+    )
