@@ -1,0 +1,254 @@
+"""Encoder-decoder transformer over Gaussian token sequences (flax).
+
+Behavioral parity with the reference's Annotated-Transformer stack
+(``/root/reference/model/model.py:46-65``, ``model/shared.py``,
+``model/attention.py``, ``model/encoder.py``, ``model/decoder.py``):
+
+  * pre-norm residual sublayers with the torch-style LayerNorm
+    (normalizes by STD with Bessel correction, eps added to the std —
+    model/shared.py:13-24),
+  * FFN: Linear(d, 2d) -> SwiGLU (split halves, silu(a) * b, the standard
+    GLU-variants definition the reference pulls from ``torch_activation``) ->
+    dropout -> Linear(d, d) (model/shared.py:41-51; d_ff = 2*d_model from
+    model/model.py:51),
+  * multi-head attention with additive -1e4 masking and dropout on the
+    attention weights (model/attention.py:41-51),
+  * src/tgt "embeddings" are FFN copies — inputs are already d_model-dim
+    tokens (model/model.py:56-57),
+  * Generator = single Linear regression head, no softmax (model/model.py:36-43),
+  * NO positional encoding anywhere — order comes from box_sort + causal
+    masking,
+  * Xavier-uniform init on weight matrices (model/model.py:62-64).
+
+TPU notes: attention is einsum-based (MXU); for the stacked model's big tokens
+(d_model = 26 * 2^8) the matmuls dominate and map straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+XAVIER = nn.initializers.xavier_uniform()
+
+
+def subsequent_mask(size: int):
+    """Causal mask [1, size, size]; True = may attend (model/shared.py:74-78)."""
+    return jnp.asarray(np.triu(np.ones((1, size, size)), k=1) == 0)
+
+
+class TorchLayerNorm(nn.Module):
+    """LayerNorm matching the reference exactly: (x - mean) / (std + eps) with
+    torch's UNBIASED std, learnable scale/shift (model/shared.py:13-24)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        a_2 = self.param("a_2", nn.initializers.ones, (d,))
+        b_2 = self.param("b_2", nn.initializers.zeros, (d,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(d - 1, 1)
+        return a_2 * (x - mean) / (jnp.sqrt(var) + self.eps) + b_2
+
+
+class FeedForward(nn.Module):
+    """Position-wise FFN with SwiGLU (model/shared.py:41-51)."""
+
+    d_model: int
+    d_ff: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.d_ff, kernel_init=XAVIER, name="w_1")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = jax.nn.silu(a) * b  # SwiGLU
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.d_model, kernel_init=XAVIER, name="w_2")(h)
+
+
+class MultiHeadedAttention(nn.Module):
+    """h-head scaled dot-product attention (model/attention.py)."""
+
+    h: int
+    d_model: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, query, key, value, mask=None, deterministic: bool = True):
+        assert self.d_model % self.h == 0
+        d_k = self.d_model // self.h
+        B = query.shape[0]
+
+        def proj(x, name):
+            y = nn.Dense(self.d_model, kernel_init=XAVIER, name=name)(x)
+            return y.reshape(B, -1, self.h, d_k).transpose(0, 2, 1, 3)
+
+        q = proj(query, "q")
+        k = proj(key, "k")
+        v = proj(value, "v")
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(d_k))
+        if mask is not None:
+            if mask.ndim == 3:
+                mask = mask[:, None]  # broadcast over heads
+            scores = jnp.where(mask == 0, -1e4, scores)
+        p_attn = jax.nn.softmax(scores, axis=-1)
+        p_attn = nn.Dropout(self.dropout, deterministic=deterministic)(p_attn)
+        x = jnp.einsum("bhqk,bhkd->bhqd", p_attn, v)
+        x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.h * d_k)
+        return nn.Dense(self.d_model, kernel_init=XAVIER, name="out")(x)
+
+
+class SublayerConnection(nn.Module):
+    """Pre-norm residual: x + dropout(sublayer(norm(x))) (model/shared.py:27-39)."""
+
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, sublayer, deterministic: bool = True):
+        y = sublayer(TorchLayerNorm(name="norm")(x))
+        return x + nn.Dropout(self.dropout, deterministic=deterministic)(y)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    h: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, name="self_attn")
+        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, name="feed_forward")
+        x = SublayerConnection(self.dropout, name="sub0")(
+            x, lambda y: attn(y, y, y, mask, deterministic), deterministic
+        )
+        return SublayerConnection(self.dropout, name="sub1")(
+            x, lambda y: ff(y, deterministic), deterministic
+        )
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    h: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
+        self_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, name="self_attn")
+        src_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, name="src_attn")
+        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, name="feed_forward")
+        x = SublayerConnection(self.dropout, name="sub0")(
+            x, lambda y: self_attn(y, y, y, tgt_mask, deterministic), deterministic
+        )
+        x = SublayerConnection(self.dropout, name="sub1")(
+            x, lambda y: src_attn(y, memory, memory, src_mask, deterministic), deterministic
+        )
+        return SublayerConnection(self.dropout, name="sub2")(
+            x, lambda y: ff(y, deterministic), deterministic
+        )
+
+
+class Encoder(nn.Module):
+    d_model: int
+    h: int
+    N: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        for i in range(self.N):
+            x = EncoderLayer(self.d_model, self.h, self.dropout, name=f"layer{i}")(
+                x, mask, deterministic
+            )
+        return TorchLayerNorm(name="norm")(x)
+
+
+class Decoder(nn.Module):
+    d_model: int
+    h: int
+    N: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
+        for i in range(self.N):
+            x = DecoderLayer(self.d_model, self.h, self.dropout, name=f"layer{i}")(
+                x, memory, src_mask, tgt_mask, deterministic
+            )
+        return TorchLayerNorm(name="norm")(x)
+
+
+class EncoderDecoder(nn.Module):
+    """The full model (model/model.py:11-34). ``src_embed``/``tgt_embed`` are
+    FeedForward copies; ``generator`` is the linear regression head."""
+
+    src_g_len: int
+    tgt_g_len: int
+    N: int = 2
+    d_model: int = 32
+    h: int = 8
+    dropout: float = 0.1
+
+    def setup(self):
+        self.encoder = Encoder(self.d_model, self.h, self.N, self.dropout)
+        self.decoder = Decoder(self.d_model, self.h, self.N, self.dropout)
+        self.src_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout)
+        self.tgt_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout)
+        self.generator_proj = nn.Dense(self.tgt_g_len, kernel_init=XAVIER)
+
+    def encode(self, src, src_mask, deterministic: bool = True):
+        return self.encoder(self.src_embed(src, deterministic), src_mask, deterministic)
+
+    def decode(self, memory, src_mask, tgt, tgt_mask, deterministic: bool = True):
+        return self.decoder(
+            self.tgt_embed(tgt, deterministic), memory, src_mask, tgt_mask, deterministic
+        )
+
+    def generator(self, x):
+        return self.generator_proj(x)
+
+    def __call__(self, src, tgt, src_mask, tgt_mask, deterministic: bool = True):
+        return self.decode(
+            self.encode(src, src_mask, deterministic), src_mask, tgt, tgt_mask, deterministic
+        )
+
+
+def make_model(
+    stacking: int,
+    src_g_len: int = 64,
+    tgt_g_len: int = 64,
+    N: int = 2,
+    d_model: int = 32,
+    h: int = 8,
+    dropout: float = 0.1,
+) -> EncoderDecoder:
+    """Construct the model (model/model.py:46-65; ``stacking`` is part of the
+    reference signature but unused in construction there too)."""
+    del stacking
+    return EncoderDecoder(
+        src_g_len=src_g_len, tgt_g_len=tgt_g_len, N=N, d_model=d_model, h=h, dropout=dropout
+    )
+
+
+def init_model(
+    model: EncoderDecoder, rng: jax.Array, src_len: int = 8, tgt_len: int = 8
+):
+    """Initialize parameters with dummy shapes (any lengths work — the model
+    has no positional encoding)."""
+    src = jnp.zeros((1, src_len, model.d_model))
+    tgt = jnp.zeros((1, tgt_len, model.d_model))
+    return model.init(
+        {"params": rng},
+        src,
+        tgt,
+        jnp.ones((1, 1, src_len), bool),
+        subsequent_mask(tgt_len),
+        True,
+    )

@@ -46,6 +46,9 @@ class RenderConfig:
     # Global (gaussian, tile) instance budget; 0 = auto (16 * capacity).
     max_instances: int = struct.field(pytree_node=False, default=0)
     tile_block: int = struct.field(pytree_node=False, default=64)
+    # Compositing backend: Pallas kernel (VMEM recurrence, custom VJP) or the
+    # pure-XLA fallback (composite.py). Pallas interprets on CPU.
+    use_pallas: bool = struct.field(pytree_node=False, default=True)
 
 
 def render(
@@ -114,17 +117,32 @@ def render(
     )
 
     order = binned.order
-    img_pad, t_pad = composite_image(
-        binned.tile_lists,
-        means2d[order],
-        proj.conics[order],
-        proj.rgbs[order],
-        proj.opacities[order],
-        bg,
-        grid_w=grid_w,
-        grid_h=grid_h,
-        tile_block=cfg.tile_block,
-    )
+    if cfg.use_pallas:
+        from gaussian_transformer_tpu.render.pallas_composite import composite_image_pallas
+
+        img_pad, t_pad = composite_image_pallas(
+            binned.tile_lists,
+            binned.tile_counts,
+            means2d[order],
+            proj.conics[order],
+            proj.rgbs[order],
+            proj.opacities[order],
+            bg,
+            grid_w=grid_w,
+            grid_h=grid_h,
+        )
+    else:
+        img_pad, t_pad = composite_image(
+            binned.tile_lists,
+            means2d[order],
+            proj.conics[order],
+            proj.rgbs[order],
+            proj.opacities[order],
+            bg,
+            grid_w=grid_w,
+            grid_h=grid_h,
+            tile_block=cfg.tile_block,
+        )
     image = img_pad[:, :H, :W]
     final_T = t_pad[:H, :W]
 
