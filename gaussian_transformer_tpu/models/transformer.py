@@ -244,11 +244,17 @@ def init_model(
     has no positional encoding)."""
     src = jnp.zeros((1, src_len, model.d_model))
     tgt = jnp.zeros((1, tgt_len, model.d_model))
+
+    def trace_all(mdl, s, t, sm, tm):
+        # The forward pass alone never touches the generator head (the
+        # reference applies it separately too) — trace it so it gets params.
+        return mdl.generator(mdl(s, t, sm, tm, True))
+
     return model.init(
         {"params": rng},
         src,
         tgt,
         jnp.ones((1, 1, src_len), bool),
         subsequent_mask(tgt_len),
-        True,
+        method=trace_all,
     )
