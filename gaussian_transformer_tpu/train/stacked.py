@@ -1,0 +1,333 @@
+"""Stacked-transformer trainer — the reference's canonical generative experiment.
+
+Parity target: ``/root/reference/train_stacked_transformer.py`` — a trained
+scene is box-sorted once (:66-81), batches OR 4 cameras' visibility filters,
+truncate to a multiple of 2^STACK and fold STACK times into fat tokens
+(:93-101), carve an epoch-scheduled contiguous target window (:102-114), run a
+full greedy decode inside the loss (:259-269), and optimize Chamfer + (when
+chamfer < 3) L1/SSIM rendering losses (:178-251) with Adam(5e-4, eps=1e-4) and
+ReduceLROnPlateau (:366-367).
+
+TPU-native structure:
+  * batch assembly pads src/tgt to static BUCKETS (masks carry correctness) so
+    jit retraces only per bucket, not per visible-count;
+  * greedy decode is a ``lax.scan`` over a fixed-size token buffer with the
+    causal mask doing the work (position i never attends to the not-yet-written
+    tail), each step rematerialized — gradients flow through the whole decode
+    like the reference's backprop-through-greedy-decode;
+  * the chamfer<3 image-loss gate is a ``lax.cond`` (the reference used it as
+    a renderer-OOM guard; with static shapes it is purely a loss schedule);
+  * Chamfer is the blockwise MXU op (ops/chamfer.py), rendering losses use the
+    Pallas renderer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from gaussian_transformer_tpu.models.box_sort import GaussianHandler
+from gaussian_transformer_tpu.models.codec import (
+    PAD_GAUSSIAN,
+    START_GAUSSIAN,
+    TOKEN_DIM,
+    fuzzy_token_equal,
+    stack_tokens,
+    unflatten_gaussians,
+    unstack_tokens,
+)
+from gaussian_transformer_tpu.models.transformer import (
+    EncoderDecoder,
+    make_model,
+    subsequent_mask,
+)
+from gaussian_transformer_tpu.ops.chamfer import chamfer_distance
+from gaussian_transformer_tpu.ops.losses import l1_loss, ssim
+from gaussian_transformer_tpu.render import RenderConfig, render
+
+STACK = 8  # train_stacked_transformer.py:38
+
+
+def stacked_token_dim(stack: int = STACK) -> int:
+    return TOKEN_DIM * 2**stack
+
+
+def start_token(stack: int = STACK):
+    return jnp.tile(START_GAUSSIAN, (2**stack,))
+
+
+def pad_token(stack: int = STACK):
+    return jnp.tile(PAD_GAUSSIAN, (2**stack,))
+
+
+def make_std_mask(tgt, stack: int = STACK):
+    """PAD + causal mask [B, L, L] (train_stacked_transformer.py:129-135)."""
+    not_pad = ~fuzzy_token_equal(tgt[:, None, :, :], pad_token(stack))  # [B, 1, L]
+    return not_pad & subsequent_mask(tgt.shape[1])
+
+
+def dropout_schedule(epoch: int) -> float:
+    """Target-window half-width schedule (train_stacked_transformer.py:79)."""
+    return min(1.30 - math.exp(-1e-4 * epoch), 0.6)
+
+
+@dataclasses.dataclass
+class StackedBatch:
+    src: jnp.ndarray  # [1, Ls, D]
+    trg: jnp.ndarray  # [1, Lt, D] (decoder input, starts with START)
+    trg_y: jnp.ndarray  # [1, Lt, D] (shifted target)
+    trg_mask: jnp.ndarray  # [1, Lt, Lt]
+    cameras: List  # batch cameras
+    ntokens: int
+
+
+class TrainingScene:
+    """Scene + camera batcher (train_stacked_transformer.py:66-127).
+
+    The scene is box-sorted ONCE at load; per batch we render ``batch_size``
+    cameras, OR their visibility, fold the visible run, and split a scheduled
+    contiguous window as the target. src/tgt are padded up to multiples of
+    ``bucket`` fat tokens with PAD so the jitted loss retraces per bucket only.
+    """
+
+    def __init__(
+        self,
+        scene_obj,
+        render_cfg: RenderConfig = RenderConfig(),
+        batch_size: int = 4,
+        stack: int = STACK,
+        interval_num: int = 40,
+        bucket: int = 16,
+        seed: int = 0,
+    ):
+        self.batch_size = batch_size
+        self.stack = stack
+        self.bucket = bucket
+        self.render_cfg = render_cfg
+        self.rng = np.random.RandomState(seed)
+        self.dropout = 0.0
+
+        gaussians = scene_obj.gaussians
+        self.handler = GaussianHandler.create(gaussians, interval_num)
+        sorted_tokens = self.handler.box_sort(gaussians)  # [C, 26] normalized
+        sorted_scene = self.handler.denormalize(unflatten_gaussians(sorted_tokens))
+        n_alive = int(np.asarray(gaussians.num_alive))
+        self.gaussians = sorted_scene  # all-alive, sorted spatially
+        self.n_alive = n_alive
+        # Tokens the model consumes stay NORMALIZED (the reference denormalizes
+        # only for rendering — TrainingScene.__init__ :73 re-sorts then keeps
+        # the normalized flat list for batching).
+        self.tokens = jnp.asarray(np.asarray(sorted_tokens)[:n_alive])
+        self.cameras = list(scene_obj.get_train_cameras())
+        self.size = len(self.cameras)
+        self._vis_cache = {}
+
+    def _visibility(self, cam_idx: int) -> np.ndarray:
+        if cam_idx not in self._vis_cache:
+            out = render(self.cameras[cam_idx], self.gaussians, self.render_cfg)
+            self._vis_cache[cam_idx] = np.asarray(out["visibility_filter"])[: self.n_alive]
+        return self._vis_cache[cam_idx]
+
+    def set_epoch(self, epoch: int) -> None:
+        self.dropout = dropout_schedule(epoch)
+
+    def batches(self):
+        idxs = np.arange(self.size)
+        self.rng.shuffle(idxs)
+        idxs = idxs[: (self.size // self.batch_size) * self.batch_size]
+        for group in idxs.reshape(-1, self.batch_size):
+            yield self.make_batch(list(group))
+
+    def make_batch(self, cam_idxs: List[int]) -> Optional[StackedBatch]:
+        fold = 2**self.stack
+        vis = np.zeros(self.n_alive, bool)
+        cams = []
+        for i in cam_idxs:
+            vis |= self._visibility(i)
+            cams.append(self.cameras[i])
+
+        seen = np.asarray(self.tokens)[vis]
+        seen = seen[: (len(seen) // fold) * fold]
+        if len(seen) < 2 * fold:
+            return None
+        folded = np.asarray(stack_tokens(jnp.asarray(seen), self.stack))  # [L, D]
+        L = folded.shape[0]
+
+        # Scheduled contiguous window (train_stacked_transformer.py:102-110).
+        mid = L // 2
+        low = int(mid - mid * self.dropout)
+        high = int(mid + mid * self.dropout)
+        offset = int(
+            (self.rng.random_sample() * 0.8 + 0.1) * (low + (L - high)) - (L - high)
+        )
+        low -= offset
+        high -= offset
+        low, high = max(0, low), min(L, max(high, low + 1))
+
+        D = folded.shape[1]
+        start = np.asarray(start_token(self.stack))
+        padt = np.asarray(pad_token(self.stack))
+
+        src = np.concatenate([folded[:low], folded[high:]], axis=0)
+        tgt_full = np.concatenate([start[None], folded[low:high]], axis=0)
+
+        def pad_to(arr, mult):
+            want = ((len(arr) + mult - 1) // mult) * mult
+            return np.concatenate([arr, np.tile(padt, (want - len(arr), 1))], axis=0)
+
+        src = pad_to(src, self.bucket)
+        tgt_full = pad_to(tgt_full, self.bucket)
+
+        trg = jnp.asarray(tgt_full[None, :-1])
+        trg_y = jnp.asarray(tgt_full[None, 1:])
+        return StackedBatch(
+            src=jnp.asarray(src[None]),
+            trg=trg,
+            trg_y=trg_y,
+            trg_mask=make_std_mask(trg, self.stack),
+            cameras=cams,
+            ntokens=high - low,
+        )
+
+
+def greedy_decode(model: EncoderDecoder, variables, src, src_mask, max_len: int, stack: int = STACK):
+    """Autoregressive decode into a fixed [1, max_len, D] buffer
+    (train_stacked_transformer.py:259-269). Differentiable through the scan."""
+    D = src.shape[-1]
+    memory = model.apply(variables, src, src_mask, method=EncoderDecoder.encode)
+    # Unwritten tail rows are causally masked and never read, but they DO flow
+    # through the pre-norm LayerNorm whose sqrt(var) backward is infinite at
+    # var=0 — a constant filler row would poison the grads with NaN * 0. An
+    # iota filler keeps per-row variance > 0; values are irrelevant.
+    filler = jnp.tile(jnp.arange(D, dtype=src.dtype)[None, None] * 1e-3, (1, max_len, 1))
+    ys = filler.at[:, 0].set(start_token(stack))
+    causal = subsequent_mask(max_len)
+
+    @jax.checkpoint
+    def step(ys, i):
+        out = model.apply(variables, memory, src_mask, ys, causal, method=EncoderDecoder.decode)
+        nxt = model.apply(variables, out[:, i], method=EncoderDecoder.generator)
+        ys = jax.lax.dynamic_update_slice(ys, nxt[:, None, :], (0, i + 1, 0))
+        return ys, None
+
+    ys, _ = jax.lax.scan(step, ys, jnp.arange(max_len - 1))
+    return ys
+
+
+def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: RenderConfig, stack: int = STACK):
+    """Build the jitted ImageLossCompute analog
+    (train_stacked_transformer.py:178-251). Returns fn(variables, src, trg_y,
+    cams_stacked, n_cams) -> (loss, metrics)."""
+
+    def loss_fn(variables, src, trg_y, cams):
+        pred = greedy_decode(model, variables, src, None, trg_y.shape[1] + 1, stack)[:, 1:]
+        pred_list = unstack_tokens(pred[0], stack)  # [Lt*2^s, 26]
+        tgt_list = unstack_tokens(trg_y[0], stack)
+
+        d1, d2, _, _ = chamfer_distance(pred_list[None], tgt_list[None])
+        chamfer = jnp.mean(d1) + jnp.mean(d2)
+
+        n_cams = len(cams) if isinstance(cams, (list, tuple)) else cams.world_view_transform.shape[0]
+
+        def with_images(_):
+            # Tokens are normalized; denormalize before rendering (reference
+            # renders through display()/unflatten on denormalized lists).
+            g_pred = handler.denormalize(unflatten_gaussians(pred_list))
+            g_tgt = handler.denormalize(unflatten_gaussians(tgt_list))
+
+            imgs, tgt_imgs = [], []
+            for cam in cams:
+                a = render(cam, g_pred, render_cfg)["render"]
+                b = render(cam, g_tgt, render_cfg)["render"]
+                imgs.append(jnp.clip(jnp.nan_to_num(a), 0.0, 1.0))
+                tgt_imgs.append(jnp.clip(jnp.nan_to_num(b), 0.0, 1.0))
+            images = jnp.stack(imgs)
+            tgt_images = jnp.stack(tgt_imgs)
+            gen = l1_loss(images, tgt_images) * (5.0 / n_cams)
+            ssim_l = (1.0 - ssim(images, tgt_images)) * (0.2 / n_cams)
+            return gen * 0.1 + ssim_l * 0.1
+
+        img_loss = jax.lax.cond(chamfer < 3.0, with_images, lambda _: jnp.float32(0.0), None)
+        loss = chamfer + img_loss
+        return loss, {"chamfer": chamfer, "img_loss": img_loss}
+
+    return loss_fn
+
+
+class ReduceLROnPlateau:
+    """Host-side lr controller matching torch's defaults plus the reference's
+    cooldown=5 (train_stacked_transformer.py:367): factor 0.1, patience 10."""
+
+    def __init__(self, lr: float, factor: float = 0.1, patience: int = 10, cooldown: int = 5):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.cooldown = cooldown
+        self.best = float("inf")
+        self.bad = 0
+        self.cool = 0
+
+    def step(self, loss: float) -> float:
+        if loss < self.best:
+            self.best = loss
+            self.bad = 0
+        elif self.cool > 0:
+            self.cool -= 1
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.lr *= self.factor
+                self.bad = 0
+                self.cool = self.cooldown
+        return self.lr
+
+
+def make_train_step(model, handler, render_cfg, optimizer, stack: int = STACK):
+    """(variables, opt_state, batch arrays, cams, lr) -> updated + metrics.
+    Jitted per (src_len, tgt_len) bucket shape."""
+    loss_fn = make_loss_fn(model, handler, render_cfg, stack)
+
+    @jax.jit
+    def step(params, opt_state, src, trg_y, cams, lr):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, src, trg_y, cams
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * (lr / 1.0), updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, metrics
+
+    return step
+
+
+def save_checkpoint(run_dir: str, epoch: int, params, opt_state) -> None:
+    """model.pt/optim.pt analog: checkpoint_{epoch}/ npz pair
+    (train_stacked_transformer.py:392-398)."""
+    d = os.path.join(run_dir, f"checkpoint_{epoch}")
+    os.makedirs(d, exist_ok=True)
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    np.savez(os.path.join(d, "model.npz"), *[np.asarray(x) for x in flat])
+    oflat, _ = jax.tree_util.tree_flatten(opt_state)
+    np.savez(os.path.join(d, "optim.npz"), *[np.asarray(x) for x in oflat])
+
+
+def load_checkpoint(run_dir: str, epoch: int, params_like, opt_state_like):
+    d = os.path.join(run_dir, f"checkpoint_{epoch}")
+    m = np.load(os.path.join(d, "model.npz"))
+    flat, treedef = jax.tree_util.tree_flatten(params_like)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(m[f"arr_{i}"]) for i in range(len(flat))]
+    )
+    o = np.load(os.path.join(d, "optim.npz"))
+    oflat, otreedef = jax.tree_util.tree_flatten(opt_state_like)
+    opt_state = jax.tree_util.tree_unflatten(
+        otreedef, [jnp.asarray(o[f"arr_{i}"]) for i in range(len(oflat))]
+    )
+    return params, opt_state

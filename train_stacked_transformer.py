@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Stacked-transformer training CLI.
+
+Parity: ``/root/reference/train_stacked_transformer.py:337-401`` — loads the
+latest trained PLY of a scene, box-sorts it once, and trains the fat-token
+encoder-decoder (STACK=8, d_model=26*2^8, N=2) with Adam(5e-4, eps=1e-4) +
+ReduceLROnPlateau, saving crash/periodic checkpoints under
+``runs/<name>/checkpoint_<epoch>``. ``--stack``/``--d_scale`` shrink the model
+for smoke runs (the reference hardcodes STACK=8).
+"""
+
+import datetime
+import os
+import sys
+import time
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def main():
+    parser = ArgumentParser(description="Training script parameters")
+    from gaussian_transformer_tpu.config import ModelParams, OptimizationParams, PipelineParams
+
+    lp = ModelParams(parser)
+    op = OptimizationParams(parser)
+    pp = PipelineParams(parser)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--detect_anomaly", action="store_true", default=False)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--stack", type=int, default=8)
+    parser.add_argument("--layers", type=int, default=2)
+    parser.add_argument("--epochs", type=int, default=20000)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--run_name", type=str, default=None)
+    parser.add_argument("--checkpoint_every", type=int, default=50)
+    args = parser.parse_args(sys.argv[1:])
+
+    print("Optimizing " + args.model_path)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    from gaussian_transformer_tpu.models.transformer import make_model, init_model
+    from gaussian_transformer_tpu.render import RenderConfig
+    from gaussian_transformer_tpu.scene import Scene
+    from gaussian_transformer_tpu.train.stacked import (
+        ReduceLROnPlateau,
+        TrainingScene,
+        load_checkpoint,
+        make_train_step,
+        save_checkpoint,
+        stacked_token_dim,
+    )
+    from gaussian_transformer_tpu.utils.system import search_for_max_iteration
+    from gaussian_transformer_tpu.viewer import network_gui
+
+    network_gui.init(args.ip, args.port)
+
+    dataset = lp.extract(args)
+    pipe = pp.extract(args)
+    render_cfg = RenderConfig(debug=pipe.debug)
+
+    scene = Scene(dataset, load_iteration=-1, sh_degree=1)
+    tscene = TrainingScene(scene, render_cfg, batch_size=args.batch_size, stack=args.stack)
+
+    D = stacked_token_dim(args.stack)
+    model = make_model(args.stack, D, D, N=args.layers, d_model=D)
+    params = init_model(model, jax.random.PRNGKey(0))
+    optimizer = optax.adam(1.0, b1=0.9, b2=0.999, eps=1e-4)  # lr injected per step
+    opt_state = optimizer.init(params)
+    scheduler = ReduceLROnPlateau(lr=0.0005)
+
+    run_name = args.run_name or (
+        "runs/" + datetime.datetime.fromtimestamp(time.time()).strftime("%a_%d_%b_%I_%M%p")
+    )
+    first_epoch = 0
+    if os.path.exists(run_name):
+        max_iter = search_for_max_iteration(run_name)
+        if max_iter is not None:
+            print(f"loading Model iter {max_iter}")
+            params, opt_state = load_checkpoint(run_name, max_iter, params, opt_state)
+            first_epoch = max_iter + 1
+    os.makedirs(run_name, exist_ok=True)
+
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(f"logs/{run_name}/base/")
+    except Exception:
+        pass
+
+    step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, args.stack)
+
+    global_step = 0
+    for epoch in range(first_epoch, args.epochs):
+        try:
+            tscene.set_epoch(epoch)
+            total_loss, total_tokens = 0.0, 0
+            for batch in tscene.batches():
+                if batch is None:
+                    continue
+                network_gui.pump(
+                    lambda cam, scaling_mod: None  # viewer decode hook lands with the viewer CLI
+                )
+                params, opt_state, loss, metrics = step_fn(
+                    params, opt_state, batch.src, batch.trg_y, batch.cameras,
+                    jnp.asarray(scheduler.lr),
+                )
+                loss = float(loss)
+                total_loss += loss
+                total_tokens += batch.ntokens
+                if tb_writer:
+                    tb_writer.add_scalar("loss", loss, global_step)
+                    tb_writer.add_scalar("chamfer", float(metrics["chamfer"]), global_step)
+                global_step += 1
+            epoch_loss = total_loss / max(total_tokens, 1)
+            print(f"Epoch: {epoch} Loss: {epoch_loss}")
+            scheduler.step(epoch_loss)
+            if tb_writer:
+                tb_writer.add_scalar("lr", scheduler.lr, epoch)
+                tb_writer.add_scalar("dropout", tscene.dropout, epoch)
+            if epoch % args.checkpoint_every == 0 and epoch > first_epoch:
+                save_checkpoint(run_name, epoch, params, opt_state)
+        except (RuntimeError, FloatingPointError) as e:
+            # Crash-save semantics (train_stacked_transformer.py:392-398).
+            print(e)
+            save_checkpoint(run_name, epoch, params, opt_state)
+
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
