@@ -295,9 +295,10 @@ def evaluate_psnr(gaussians, cameras, render_cfg=RenderConfig(), bg=None, max_ca
     if bg is None:
         bg = jnp.zeros(3, jnp.float32)
     cams = cameras[:max_cameras] if max_cameras else cameras
+    render_fn = jax.jit(lambda cam: render(cam, gaussians, render_cfg, bg_color=bg)["render"])
     psnrs, l1s = [], []
     for cam in cams:
-        img = jnp.clip(render(cam, gaussians, render_cfg, bg_color=bg)["render"], 0.0, 1.0)
+        img = jnp.clip(render_fn(cam), 0.0, 1.0)
         gt = jnp.clip(cam.original_image, 0.0, 1.0)
         psnrs.append(float(jnp.mean(psnr(img, gt))))
         l1s.append(float(l1_loss(img, gt)))

@@ -128,11 +128,15 @@ class TrainingScene:
         self.cameras = list(scene_obj.get_train_cameras())
         self.size = len(self.cameras)
         self._vis_cache = {}
+        # jit once; eager renders dispatch per-op (very slow on remote TPUs).
+        self._vis_fn = jax.jit(
+            lambda cam: render(cam, self.gaussians, self.render_cfg)["visibility_filter"]
+        )
 
     def _visibility(self, cam_idx: int) -> np.ndarray:
         if cam_idx not in self._vis_cache:
-            out = render(self.cameras[cam_idx], self.gaussians, self.render_cfg)
-            self._vis_cache[cam_idx] = np.asarray(out["visibility_filter"])[: self.n_alive]
+            vis = self._vis_fn(self.cameras[cam_idx])
+            self._vis_cache[cam_idx] = np.asarray(vis)[: self.n_alive]
         return self._vis_cache[cam_idx]
 
     def set_epoch(self, epoch: int) -> None:
