@@ -188,27 +188,35 @@ def read_intrinsics_text(path: str) -> Dict[int, ColmapCamera]:
 
 
 def read_extrinsics_text(path: str) -> Dict[int, ColmapImage]:
+    """Sequential two-line records like COLMAP itself: a header line followed
+    by its observations line, which MAY be empty (reference
+    colmap_loader.py:156-178 reads it unconditionally — dropping blank lines
+    would desynchronize the pairing)."""
     images = {}
     with open(path) as fid:
-        lines = [l.strip() for l in fid if l.strip() and not l.strip().startswith("#")]
-    for i in range(0, len(lines), 2):
-        elems = lines[i].split()
-        image_id = int(elems[0])
-        qvec = np.array(tuple(map(float, elems[1:5])))
-        tvec = np.array(tuple(map(float, elems[5:8])))
-        camera_id = int(elems[8])
-        name = elems[9]
-        if i + 1 < len(lines):
-            pts = lines[i + 1].split()
-            xys = np.column_stack(
-                [tuple(map(float, pts[0::3])), tuple(map(float, pts[1::3]))]
-            ) if pts else np.zeros((0, 2))
+        while True:
+            line = fid.readline()
+            if not line:
+                break
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            elems = line.split()
+            image_id = int(elems[0])
+            qvec = np.array(tuple(map(float, elems[1:5])))
+            tvec = np.array(tuple(map(float, elems[5:8])))
+            camera_id = int(elems[8])
+            name = elems[9]
+            pts = fid.readline().split()
+            xys = (
+                np.column_stack([tuple(map(float, pts[0::3])), tuple(map(float, pts[1::3]))])
+                if pts
+                else np.zeros((0, 2))
+            )
             ids = np.array(tuple(map(int, pts[2::3]))) if pts else np.zeros((0,), dtype=np.int64)
-        else:
-            xys, ids = np.zeros((0, 2)), np.zeros((0,), dtype=np.int64)
-        images[image_id] = ColmapImage(
-            id=image_id, qvec=qvec, tvec=tvec, camera_id=camera_id, name=name, xys=xys, point3D_ids=ids
-        )
+            images[image_id] = ColmapImage(
+                id=image_id, qvec=qvec, tvec=tvec, camera_id=camera_id, name=name, xys=xys, point3D_ids=ids
+            )
     return images
 
 
