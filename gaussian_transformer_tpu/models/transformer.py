@@ -74,11 +74,17 @@ class FeedForward(nn.Module):
 
 
 class MultiHeadedAttention(nn.Module):
-    """h-head scaled dot-product attention (model/attention.py)."""
+    """h-head scaled dot-product attention (model/attention.py).
+
+    ``block_k > 0`` switches to the O(L)-memory blockwise kernel
+    (ops/attention.py) for long Gaussian sequences — forward-exact, but
+    attention-weight dropout is only applied on the dense path (the weights
+    matrix never materializes blockwise)."""
 
     h: int
     d_model: int
     dropout: float = 0.1
+    block_k: int = 0
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, deterministic: bool = True):
@@ -94,14 +100,20 @@ class MultiHeadedAttention(nn.Module):
         k = proj(key, "k")
         v = proj(value, "v")
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(d_k))
-        if mask is not None:
-            if mask.ndim == 3:
-                mask = mask[:, None]  # broadcast over heads
-            scores = jnp.where(mask == 0, -1e4, scores)
-        p_attn = jax.nn.softmax(scores, axis=-1)
-        p_attn = nn.Dropout(self.dropout, deterministic=deterministic)(p_attn)
-        x = jnp.einsum("bhqk,bhkd->bhqd", p_attn, v)
+        if mask is not None and mask.ndim == 3:
+            mask = mask[:, None]  # broadcast over heads
+
+        if self.block_k > 0:
+            from gaussian_transformer_tpu.ops.attention import blockwise_attention
+
+            x = blockwise_attention(q, k, v, mask=mask, block_k=self.block_k)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(d_k))
+            if mask is not None:
+                scores = jnp.where(mask == 0, -1e4, scores)
+            p_attn = jax.nn.softmax(scores, axis=-1)
+            p_attn = nn.Dropout(self.dropout, deterministic=deterministic)(p_attn)
+            x = jnp.einsum("bhqk,bhkd->bhqd", p_attn, v)
         x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.h * d_k)
         return nn.Dense(self.d_model, kernel_init=XAVIER, name="out")(x)
 
