@@ -111,6 +111,24 @@ def read_intrinsics_binary(path: str) -> Dict[int, ColmapCamera]:
 
 
 def read_extrinsics_binary(path: str) -> Dict[int, ColmapImage]:
+    # Native fast path (C++ parser, gaussian_transformer_tpu/native); track
+    # observations are skipped there — no call site uses xys/point3D_ids.
+    try:
+        from gaussian_transformer_tpu import native
+
+        if native.available():
+            ids, qvecs, tvecs, cam_ids, names = native.read_images_bin(path)
+            empty_xys = np.zeros((0, 2))
+            empty_ids = np.zeros((0,), dtype=np.int64)
+            return {
+                int(i): ColmapImage(
+                    id=int(i), qvec=q, tvec=t, camera_id=int(c), name=nm,
+                    xys=empty_xys, point3D_ids=empty_ids,
+                )
+                for i, q, t, c, nm in zip(ids, qvecs, tvecs, cam_ids, names)
+            }
+    except Exception:
+        pass
     images = {}
     with open(path, "rb") as fid:
         (num_images,) = _read_next_bytes(fid, 8, "Q")
@@ -148,6 +166,14 @@ def read_extrinsics_binary(path: str) -> Dict[int, ColmapImage]:
 
 def read_points3D_binary(path: str):
     """Returns (xyz [N,3] f64, rgb [N,3] u8, error [N,1] f64)."""
+    try:
+        from gaussian_transformer_tpu import native
+
+        if native.available():
+            xyz, rgb, err = native.read_points3d_bin(path)
+            return xyz, rgb, err[:, None]
+    except Exception:
+        pass
     with open(path, "rb") as fid:
         (num_points,) = _read_next_bytes(fid, 8, "Q")
         xyzs = np.empty((num_points, 3))

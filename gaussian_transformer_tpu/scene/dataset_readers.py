@@ -62,8 +62,40 @@ def get_nerfpp_norm(cam_info: List[CameraInfo]) -> dict:
     return {"translate": -avg.flatten(), "radius": diagonal * 1.1}
 
 
+def _batch_decode_images(paths):
+    """Decode many images at once on the native thread pool (grouped by size);
+    returns {path: PIL.Image} or None when the native runtime is absent."""
+    try:
+        from gaussian_transformer_tpu import native
+
+        if not native.available():
+            return None
+        from PIL import Image
+
+        by_size = {}
+        for p in paths:
+            w, h = native.image_size(p)
+            by_size.setdefault((w, h), []).append(p)
+        out = {}
+        for (w, h), group in by_size.items():
+            arrs = native.load_images(group, w, h)
+            for p, arr in zip(group, arrs):
+                out[p] = Image.fromarray(arr)
+        return out
+    except Exception:
+        return None
+
+
 def _read_colmap_cameras(cam_extrinsics, cam_intrinsics, images_folder, load_images=True):
     from PIL import Image
+
+    decoded = None
+    if load_images:
+        paths = [
+            os.path.join(images_folder, os.path.basename(e.name))
+            for e in cam_extrinsics.values()
+        ]
+        decoded = _batch_decode_images([p for p in paths if os.path.exists(p)])
 
     cam_infos = []
     for idx, key in enumerate(cam_extrinsics):
@@ -89,7 +121,10 @@ def _read_colmap_cameras(cam_extrinsics, cam_intrinsics, images_folder, load_ima
 
         image_path = os.path.join(images_folder, os.path.basename(extr.name))
         image_name = os.path.basename(image_path).split(".")[0]
-        image = Image.open(image_path) if load_images and os.path.exists(image_path) else None
+        if load_images and os.path.exists(image_path):
+            image = decoded[image_path] if decoded and image_path in decoded else Image.open(image_path)
+        else:
+            image = None
 
         cam_infos.append(
             CameraInfo(

@@ -38,6 +38,16 @@ _PLY_DTYPES = {
 
 def read_ply_vertex_table(path: str) -> Dict[str, np.ndarray]:
     """Read the 'vertex' element of a PLY file into {property: 1-D array}."""
+    # Native fast path: the C++ reader handles the all-float32 Gaussian
+    # checkpoint layout; anything else (uchar colors etc.) falls through.
+    try:
+        from gaussian_transformer_tpu import native
+
+        if native.available():
+            data, names = native.read_ply_f32(path)
+            return {name: data[:, i] for i, name in enumerate(names)}
+    except Exception:
+        pass
     with open(path, "rb") as f:
         magic = f.readline().strip()
         if magic != b"ply":
@@ -87,6 +97,15 @@ def read_ply_vertex_table(path: str) -> Dict[str, np.ndarray]:
 
 
 def write_ply_vertex_table(path: str, names: Sequence[str], attributes: np.ndarray) -> None:
+    try:
+        from gaussian_transformer_tpu import native
+
+        if native.available() and np.asarray(attributes).dtype == np.float32:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            native.write_ply_f32(path, list(names), np.asarray(attributes))
+            return
+    except Exception:
+        pass
     """Write an all-float32 vertex table: attributes [N, len(names)]."""
     n = attributes.shape[0]
     assert attributes.shape[1] == len(names)
