@@ -36,6 +36,17 @@ from flax import linen as nn
 XAVIER = nn.initializers.xavier_uniform()
 
 
+def interleave(x):
+    """concat(x[:, 0::2], x[:, 1::2]) on the feature axis — the reference's
+    unused Interleave helper (model/shared.py:53-58)."""
+    return jnp.concatenate([x[:, 0::2], x[:, 1::2]], axis=-1)
+
+
+def unravel(x):
+    """[B, L, D] -> [B, 2L, D/2] (model/shared.py:60-65 Unravel)."""
+    return x.reshape(x.shape[0], x.shape[1] * 2, x.shape[2] // 2)
+
+
 def subsequent_mask(size: int):
     """Causal mask [1, size, size]; True = may attend (model/shared.py:74-78)."""
     return jnp.asarray(np.triu(np.ones((1, size, size)), k=1) == 0)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -25,8 +26,6 @@ def l2_loss(network_output, gt):
 @functools.lru_cache(maxsize=None)
 def _gaussian_window(window_size: int, sigma: float):
     # numpy (not jnp) so the cached value is a host constant, never a tracer.
-    import numpy as np
-
     xs = np.asarray(
         [math.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2)) for x in range(window_size)],
         dtype=np.float32,
@@ -36,23 +35,26 @@ def _gaussian_window(window_size: int, sigma: float):
 
 
 def _filter2d_same(img, window):
-    """Depthwise 'same' conv of BCHW images with a KxK window via two separable
-    1D convs (cheaper on the VPU than a full KxK kernel; identical result since
-    the window is an outer product)."""
+    """Depthwise 'same' conv of BCHW images with a KxK separable window via
+    explicit shift-and-accumulate (two 1-D passes of K fused multiply-adds).
+    Depthwise grouped convolutions lower poorly on the TPU (no MXU mapping,
+    ~10ms at 1080p); K slice-adds stay on the VPU and fuse to ~1ms."""
     k = window.shape[0]
-    b, c, h, w = img.shape
-    g1 = jnp.sum(window, axis=1)  # recover the separable 1D factor (rows sum to g_i since sum(g)=1)
-    # Rows then columns, grouped (depthwise) convolution.
-    kern_row = jnp.tile(g1.reshape(1, 1, k, 1), (c, 1, 1, 1))
-    kern_col = jnp.tile(g1.reshape(1, 1, 1, k), (c, 1, 1, 1))
-    dn = jax.lax.conv_dimension_numbers(img.shape, kern_row.shape, ("NCHW", "OIHW", "NCHW"))
-    out = jax.lax.conv_general_dilated(
-        img, kern_row, (1, 1), [(k // 2, k // 2), (0, 0)], dimension_numbers=dn, feature_group_count=c
-    )
-    out = jax.lax.conv_general_dilated(
-        out, kern_col, (1, 1), [(0, 0), (k // 2, k // 2)], dimension_numbers=dn, feature_group_count=c
-    )
-    return out
+    half = k // 2
+    g1 = np.asarray(window).sum(axis=1)  # separable 1-D factor (sum(window)=1)
+
+    def pass_along(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (half, half)
+        xp = jnp.pad(x, pad)
+        n = x.shape[axis]
+        acc = None
+        for i in range(k):
+            sl = jax.lax.slice_in_dim(xp, i, i + n, axis=axis)
+            acc = sl * g1[i] if acc is None else acc + sl * g1[i]
+        return acc
+
+    return pass_along(pass_along(img, 2), 3)
 
 
 def ssim(img1, img2, window_size: int = 11, size_average: bool = True):

@@ -121,8 +121,7 @@ def render(
         from gaussian_transformer_tpu.render.pallas_composite import composite_image_pallas
 
         img_pad, t_pad = composite_image_pallas(
-            binned.tile_lists,
-            binned.tile_counts,
+            binned,
             means2d[order],
             proj.conics[order],
             proj.rgbs[order],

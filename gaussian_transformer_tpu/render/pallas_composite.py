@@ -52,12 +52,13 @@ def _pixel_coords(t, grid_w):
     return px, py
 
 
-def _chunk_alpha(props_ref, base, px, py):
+def _chunk_alpha(props_ref, tb, base, px, py):
     """Alpha/skip math for one chunk: returns (alpha [CH, P], one_minus [CH, P],
     rgb [CH, 3], dx, dy, a, b, c, opac) — all replayable in fwd and bwd.
-    ``props_ref`` is the [1, K, 16] VMEM block ref (dynamic ref slicing is the
-    Mosaic-supported path; dynamic_slice on values is not)."""
-    blk = props_ref[0, pl.ds(base, CH), :]  # [CH, 16]
+    ``props_ref`` is the [T_BLOCK, K, 16] VMEM block ref, ``tb`` the tile
+    within the block (dynamic ref slicing is the Mosaic-supported path;
+    dynamic_slice on values is not)."""
+    blk = props_ref[tb, pl.ds(base, CH), :]  # [CH, 16]
     x = blk[:, 0:1]
     y = blk[:, 1:2]
     a = blk[:, 2:3]
@@ -123,8 +124,15 @@ def _inclusive_cumsum_rows(v):
     return x
 
 
-def _fwd_kernel(counts_ref, props_hw_ref, color_ref, t_ref, *, grid_w):
-    t = pl.program_id(0)
+def _fwd_kernel(counts_ref, props_hw_ref, color_ref, t_ref, *, grid_w, t_block):
+    # One program composites t_block consecutive tiles: grid scheduling and
+    # block DMA amortize over the (tiny) per-tile work.
+    for tb in range(t_block):
+        _fwd_one_tile(counts_ref, props_hw_ref, color_ref, t_ref, tb, grid_w, t_block)
+
+
+def _fwd_one_tile(counts_ref, props_hw_ref, color_ref, t_ref, tb, grid_w, t_block):
+    t = pl.program_id(0) * t_block + tb
     count = counts_ref[t].astype(jnp.int32)
     px, py = _pixel_coords(t, grid_w)
 
@@ -132,7 +140,7 @@ def _fwd_kernel(counts_ref, props_hw_ref, color_ref, t_ref, *, grid_w):
 
     def body(carry):
         ci, color, t_run, live = carry
-        alpha, _, rgb, *_ = _chunk_alpha(props_hw_ref, ci * CH, px, py)
+        alpha, _, rgb, *_ = _chunk_alpha(props_hw_ref, tb, ci * CH, px, py)
 
         t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run  # [CH, P]
         # Saturation: a contribution that would push T below 1e-4 terminates
@@ -161,8 +169,8 @@ def _fwd_kernel(counts_ref, props_hw_ref, color_ref, t_ref, *, grid_w):
         jnp.ones((1, P), jnp.float32),
     )
     _, color, t_run, live = jax.lax.while_loop(cond, body, init)
-    color_ref[0] = color
-    t_ref[0] = t_run
+    color_ref[tb] = color
+    t_ref[tb] = t_run
 
 
 def _bwd_kernel(
@@ -174,8 +182,9 @@ def _bwd_kernel(
     dprops_ref,
     *,
     grid_w,
+    t_block,
 ):
-    """Forward replay with gradient emission.
+    """Forward replay with gradient emission, t_block tiles per program.
 
     For contribution k (weight w_k = alpha_k T_k):
       dL/drgb_k  = w_k * gC                       (summed over pixels)
@@ -184,20 +193,31 @@ def _bwd_kernel(
       where S_k = sum_{j>k} w_j rgb_j = C_total - prefix_incl_k, computed by
       carrying the inclusive prefix and using C_total from a first full pass.
     """
-    t = pl.program_id(0)
+    for tb in range(t_block):
+        _bwd_one_tile(
+            counts_ref, props_hw_ref, final_t_ref, g_color_ref, g_t_ref, dprops_ref,
+            tb, grid_w, t_block,
+        )
+
+
+def _bwd_one_tile(
+    counts_ref, props_hw_ref, final_t_ref, g_color_ref, g_t_ref, dprops_ref,
+    tb, grid_w, t_block,
+):
+    t = pl.program_id(0) * t_block + tb
     count = counts_ref[t].astype(jnp.int32)
     px, py = _pixel_coords(t, grid_w)
-    g_color = g_color_ref[0]  # [3, P]
-    g_t = g_t_ref[0]  # [1, P]
-    t_final = final_t_ref[0]  # [1, P]
+    g_color = g_color_ref[tb]  # [3, P]
+    g_t = g_t_ref[tb]  # [1, P]
+    t_final = final_t_ref[tb]  # [1, P]
 
     n_chunks = pl.cdiv(count, CH)
-    dprops_ref[0] = jnp.zeros_like(dprops_ref[0])
+    dprops_ref[tb] = jnp.zeros_like(dprops_ref[tb])
 
     # Pass 1: total pre-background color C_total (needed for suffix sums).
     def body1(carry):
         ci, color, t_run, live = carry
-        alpha, _, rgb, *_ = _chunk_alpha(props_hw_ref, ci * CH, px, py)
+        alpha, _, rgb, *_ = _chunk_alpha(props_hw_ref, tb, ci * CH, px, py)
         t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
         trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
         done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
@@ -226,7 +246,7 @@ def _bwd_kernel(
     def body2(ci, carry):
         color_pref, t_run, live = carry
         base = ci * CH
-        alpha, alpha_raw, rgb, dx, dy, a, b, c, opac = _chunk_alpha(props_hw_ref, base, px, py)
+        alpha, alpha_raw, rgb, dx, dy, a, b, c, opac = _chunk_alpha(props_hw_ref, tb, base, px, py)
 
         t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
         trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
@@ -290,7 +310,7 @@ def _bwd_kernel(
             ],
             axis=1,
         )  # [CH, 16]
-        dprops_ref[0, pl.ds(base, CH), :] = d_blk
+        dprops_ref[tb, pl.ds(base, CH), :] = d_blk
 
         color_pref = color_pref + jnp.concatenate(chunk_totals, axis=0)
         t_run = t_run * _row_product(1.0 - alpha * live_k)
@@ -314,6 +334,16 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+T_BLOCK = 8  # tiles per program (amortizes grid scheduling + DMA)
+
+
+def _pad_tiles(arrs, T):
+    pad = (-T) % T_BLOCK
+    if pad == 0:
+        return arrs, T
+    return [jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) for a in arrs], T + pad
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def composite_tiles_pallas(props, counts, grid_w):
     """props [T, K, 16], counts [T] float32 -> (color [T, 3, P], final_T [T, 1, P]).
@@ -328,26 +358,28 @@ def composite_tiles_pallas(props, counts, grid_w):
 def _fwd(props, counts, grid_w):
     T, K, F = props.shape
     assert F == PROPS_F and K % CH == 0
-    kernel = functools.partial(_fwd_kernel, grid_w=grid_w)
+    (props_p, counts_p), T_pad = _pad_tiles([props, counts], T)
+    TB = T_BLOCK
+    kernel = functools.partial(_fwd_kernel, grid_w=grid_w, t_block=TB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[pl.BlockSpec((1, K, PROPS_F), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM)],
+        grid=(T_pad // TB,),
+        in_specs=[pl.BlockSpec((TB, K, PROPS_F), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, 3, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 3, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
         ),
     )
     color, final_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T, 3, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, 3, P), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, 1, P), jnp.float32),
         ),
         interpret=_use_interpret(),
-    )(counts, props)
-    return color, final_t
+    )(counts_p, props_p)
+    return color[:T], final_t[:T]
 
 
 def _fwd_rule(props, counts, grid_w):
@@ -359,25 +391,29 @@ def _bwd_rule(grid_w, residuals, cotangents):
     props, counts, final_t = residuals
     g_color, g_t = cotangents
     T, K, F = props.shape
-    kernel = functools.partial(_bwd_kernel, grid_w=grid_w)
+    (props_p, counts_p, final_t_p, g_color_p, g_t_p), T_pad = _pad_tiles(
+        [props, counts, final_t, g_color, g_t], T
+    )
+    TB = T_BLOCK
+    kernel = functools.partial(_bwd_kernel, grid_w=grid_w, t_block=TB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T_pad // TB,),
         in_specs=[
-            pl.BlockSpec((1, K, PROPS_F), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, K, PROPS_F), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 3, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K, PROPS_F), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TB, K, PROPS_F), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
     )
     dprops = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, K, PROPS_F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, K, PROPS_F), jnp.float32),
         interpret=_use_interpret(),
-    )(counts, props, final_t, g_color, g_t)
-    return (dprops, jnp.zeros_like(counts))
+    )(counts_p, props_p, final_t_p, g_color_p, g_t_p)
+    return (dprops[:T], jnp.zeros_like(counts))
 
 
 composite_tiles_pallas.defvjp(_fwd_rule, _bwd_rule)
@@ -401,8 +437,7 @@ def pack_props(means2d_s, conics_s, rgbs_s, opac_s):
 
 
 def composite_image_pallas(
-    tile_lists: jnp.ndarray,  # [T, K]
-    tile_counts: jnp.ndarray,  # [T]
+    binned,  # tiles.Binned
     means2d_s: jnp.ndarray,
     conics_s: jnp.ndarray,
     rgbs_s: jnp.ndarray,
@@ -412,15 +447,20 @@ def composite_image_pallas(
     grid_w: int,
     grid_h: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for composite.composite_image via the Pallas kernel."""
+    """Drop-in replacement for composite.composite_image via the Pallas kernel.
+
+    The [T, K, 16] per-tile property table is built by SCATTERING the gathered
+    instance rows (binned.inst_*) — gathers through tile_lists are ~4x slower
+    on TPU; the VJP chain (gather at inst_gauss, scatter at (tile, rank))
+    reverses to exactly the scatter-add the backward needs."""
     C = means2d_s.shape[0]
+    tile_lists = binned.tile_lists
     K = tile_lists.shape[1]
     if K % CH:  # kernel chunk size; pad with sentinel entries
-        pad = CH - K % CH
-        tile_lists = jnp.pad(tile_lists, ((0, 0), (0, pad)), constant_values=C)
+        tile_lists = jnp.pad(tile_lists, ((0, 0), (0, CH - K % CH)), constant_values=C)
     props_full = pack_props(means2d_s, conics_s, rgbs_s, opac_s)  # [C+1, 16]
-    props = props_full[tile_lists]  # [T, K, 16]; VJP of this gather = scatter-add
-    color, final_t = composite_tiles_pallas(props, tile_counts.astype(jnp.float32), grid_w)
+    props = props_full[tile_lists]  # [T, K, 16] row gather; VJP = scatter-add
+    color, final_t = composite_tiles_pallas(props, binned.tile_counts.astype(jnp.float32), grid_w)
     final_t = final_t[:, 0, :]  # [T, P]
     color = color + final_t[:, None, :] * bg[None, :, None]
 

@@ -37,6 +37,13 @@ class Binned(NamedTuple):
     tile_lists: jnp.ndarray  # [T, K] int32 — indices into the SORTED arrays; C = empty
     tile_counts: jnp.ndarray  # [T] int32 — number of valid entries (pre-truncation, capped at K)
     overflow: jnp.ndarray  # [] int32 — total entries dropped by the K cap
+    # Instance-domain views (length I): tile id (T = invalid), rank within the
+    # tile's depth-ordered run, and the depth-sorted gaussian index. Consumers
+    # building [T, K, ...] tables should SCATTER from these — far cheaper on
+    # TPU than gathering 2M rows through tile_lists.
+    inst_tile: jnp.ndarray
+    inst_rank: jnp.ndarray
+    inst_gauss: jnp.ndarray
 
 
 def compute_rects(means2d: jnp.ndarray, radii: jnp.ndarray, grid_w: int, grid_h: int):
@@ -119,13 +126,17 @@ def bin_gaussians(
     gauss_i = jax.lax.cummax(marks)
     inst_valid = (j < total) & (gauss_i >= 0)
     gi_safe = jnp.clip(gauss_i, 0, C - 1)
-    r_i = j - offsets[gi_safe]
     gauss_i = jnp.where(inst_valid, gi_safe, C).astype(jnp.int32)
 
     # Instance r of gaussian i covers tile (min_x + r%w, min_y + r//w).
+    # One packed ROW gather (TPU gathers fetch contiguous rows efficiently;
+    # four separate scalar gathers are ~4x slower).
     w_safe = jnp.maximum(w, 1)
-    tx = min_x[gi_safe] + r_i % w_safe[gi_safe]
-    ty = min_y[gi_safe] + r_i // w_safe[gi_safe]
+    packed = jnp.stack([min_x, min_y, w_safe, offsets], axis=1)  # [C, 4]
+    vals = packed[gi_safe]  # [I, 4]
+    r_i = j - vals[:, 3]
+    tx = vals[:, 0] + r_i % vals[:, 2]
+    ty = vals[:, 1] + r_i // vals[:, 2]
     tile_id = jnp.where(inst_valid, ty * grid_w + tx, T).astype(jnp.int32)
 
     # Stable sort by tile id: per-tile runs inherit global front-to-back order.
@@ -134,12 +145,20 @@ def bin_gaussians(
     # Per-tile run boundaries via histogram + exclusive cumsum (cheaper on TPU
     # than searchsorted over the sorted keys).
     counts = jnp.zeros((T + 1,), jnp.int32).at[tile_id].add(1, mode="drop")[:T]
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    starts_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])  # [T+1]
 
-    k = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
-    pos = jnp.minimum(starts[:, None] + k, I - 1)
-    gidx = sorted_payload[pos]
-    tile_lists = jnp.where(k < counts[:, None], gidx, C).astype(jnp.int32)
+    # Per-tile lists: each row is the CONTIGUOUS run sorted_payload[start:start+K]
+    # — vmapped dynamic_slice lowers to an efficient K-wide row gather (element
+    # gathers through a [T, K] index matrix are several times slower on TPU).
+    starts = starts_ext[:T]
+    payload_pad = jnp.concatenate([sorted_payload, jnp.full((K,), C, jnp.int32)])
+    runs = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(payload_pad, (jnp.minimum(s0, I),), (K,))
+    )(starts)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+    counts_capped = jnp.minimum(counts, K)
+    tile_lists = jnp.where(k_iota < counts_capped[:, None], runs, C)
+    inst_rank = jnp.arange(I, dtype=jnp.int32) - starts_ext[jnp.minimum(sorted_tiles, T)]
 
     overflow = (
         jnp.sum(jnp.maximum(counts - K, 0))  # per-tile K cap
@@ -151,4 +170,7 @@ def bin_gaussians(
         tile_lists=tile_lists,
         tile_counts=jnp.minimum(counts, K),
         overflow=overflow,
+        inst_tile=sorted_tiles,
+        inst_rank=inst_rank,
+        inst_gauss=sorted_payload,
     )

@@ -177,6 +177,7 @@ def training(
     log_fn=None,
     capacity_headroom: float = 4.0,
     progress: bool = True,
+    viewer: bool = False,
 ):
     """The full train.py loop against a Scene orchestrator object.
 
@@ -214,8 +215,24 @@ def training(
 
         iter_range = tqdm(iter_range, desc="Training")
 
+    # Viewer service pump (reference train.py:52-65): serve SIBR requests with
+    # renders of the CURRENT gaussians each iteration.
+    if viewer:
+        from gaussian_transformer_tpu.viewer import network_gui
+
+        viewer_render = jax.jit(
+            lambda cam, g, smod: render(
+                cam, g, render_cfg, bg_color=bg, scaling_modifier=smod
+            )["render"]
+        )
+
     for iteration in iter_range:
         t0 = time.time()
+        if viewer:
+            network_gui.pump(
+                lambda cam, smod: viewer_render(cam, gaussians, jnp.float32(smod)),
+                source_path=getattr(scene_obj, "source_path", ""),
+            )
         # SH degree bump every 1000 iters (train.py:69-73).
         if iteration % 1000 == 0:
             gaussians = gaussians.oneup_sh_degree()

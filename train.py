@@ -61,6 +61,16 @@ def main():
     os.makedirs(dataset.model_path, exist_ok=True)
     save_cfg_args(dataset.model_path, dataset)
 
+    # Viewer service (reference train.py:211 network_gui.init).
+    viewer_ok = False
+    try:
+        from gaussian_transformer_tpu.viewer import network_gui
+
+        network_gui.init(args.ip, args.port)
+        viewer_ok = True
+    except OSError as e:
+        print(f"viewer disabled: {e}")
+
     scene = Scene(dataset, sh_degree=dataset.sh_degree)
     opt = OptConfig.from_args(opt_args)
     render_cfg = RenderConfig(
@@ -110,6 +120,7 @@ def main():
         start_checkpoint=args.start_checkpoint,
         log_fn=log_fn,
         progress=not args.quiet,
+        viewer=viewer_ok,
     )
 
     print("\nTraining complete.")
