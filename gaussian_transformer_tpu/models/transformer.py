@@ -26,7 +26,7 @@ TPU notes: attention is einsum-based (MXU); for the stacked model's big tokens
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import numpy as np
 import jax
@@ -69,19 +69,23 @@ class TorchLayerNorm(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """Position-wise FFN with SwiGLU (model/shared.py:41-51)."""
+    """Position-wise FFN with SwiGLU (model/shared.py:41-51). ``dtype`` is the
+    computation dtype — bf16 runs the matmuls on the MXU's fast path (the TPU
+    analog of the reference's fp16 training, train_transformer.py:313); params
+    stay float32."""
 
     d_model: int
     d_ff: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.d_ff, kernel_init=XAVIER, name="w_1")(x)
+        h = nn.Dense(self.d_ff, kernel_init=XAVIER, dtype=self.dtype, name="w_1")(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = jax.nn.silu(a) * b  # SwiGLU
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.d_model, kernel_init=XAVIER, name="w_2")(h)
+        return nn.Dense(self.d_model, kernel_init=XAVIER, dtype=self.dtype, name="w_2")(h)
 
 
 class MultiHeadedAttention(nn.Module):
@@ -96,6 +100,7 @@ class MultiHeadedAttention(nn.Module):
     d_model: int
     dropout: float = 0.1
     block_k: int = 0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, deterministic: bool = True):
@@ -104,7 +109,7 @@ class MultiHeadedAttention(nn.Module):
         B = query.shape[0]
 
         def proj(x, name):
-            y = nn.Dense(self.d_model, kernel_init=XAVIER, name=name)(x)
+            y = nn.Dense(self.d_model, kernel_init=XAVIER, dtype=self.dtype, name=name)(x)
             return y.reshape(B, -1, self.h, d_k).transpose(0, 2, 1, 3)
 
         q = proj(query, "q")
@@ -119,14 +124,17 @@ class MultiHeadedAttention(nn.Module):
 
             x = blockwise_attention(q, k, v, mask=mask, block_k=self.block_k)
         else:
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(d_k))
+            # Scores/softmax in float32 for stability regardless of dtype.
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.float32(d_k))
             if mask is not None:
                 scores = jnp.where(mask == 0, -1e4, scores)
             p_attn = jax.nn.softmax(scores, axis=-1)
             p_attn = nn.Dropout(self.dropout, deterministic=deterministic)(p_attn)
-            x = jnp.einsum("bhqk,bhkd->bhqd", p_attn, v)
+            x = jnp.einsum("bhqk,bhkd->bhqd", p_attn.astype(v.dtype), v)
         x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.h * d_k)
-        return nn.Dense(self.d_model, kernel_init=XAVIER, name="out")(x)
+        return nn.Dense(self.d_model, kernel_init=XAVIER, dtype=self.dtype, name="out")(x)
 
 
 class SublayerConnection(nn.Module):
@@ -144,11 +152,12 @@ class EncoderLayer(nn.Module):
     d_model: int
     h: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
-        attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, name="self_attn")
-        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, name="feed_forward")
+        attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, dtype=self.dtype, name="self_attn")
+        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, name="feed_forward")
         x = SublayerConnection(self.dropout, name="sub0")(
             x, lambda y: attn(y, y, y, mask, deterministic), deterministic
         )
@@ -161,12 +170,13 @@ class DecoderLayer(nn.Module):
     d_model: int
     h: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
-        self_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, name="self_attn")
-        src_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, name="src_attn")
-        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, name="feed_forward")
+        self_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, dtype=self.dtype, name="self_attn")
+        src_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, dtype=self.dtype, name="src_attn")
+        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, name="feed_forward")
         x = SublayerConnection(self.dropout, name="sub0")(
             x, lambda y: self_attn(y, y, y, tgt_mask, deterministic), deterministic
         )
@@ -183,11 +193,12 @@ class Encoder(nn.Module):
     h: int
     N: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         for i in range(self.N):
-            x = EncoderLayer(self.d_model, self.h, self.dropout, name=f"layer{i}")(
+            x = EncoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, name=f"layer{i}")(
                 x, mask, deterministic
             )
         return TorchLayerNorm(name="norm")(x)
@@ -198,11 +209,12 @@ class Decoder(nn.Module):
     h: int
     N: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
         for i in range(self.N):
-            x = DecoderLayer(self.d_model, self.h, self.dropout, name=f"layer{i}")(
+            x = DecoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, name=f"layer{i}")(
                 x, memory, src_mask, tgt_mask, deterministic
             )
         return TorchLayerNorm(name="norm")(x)
@@ -218,12 +230,14 @@ class EncoderDecoder(nn.Module):
     d_model: int = 32
     h: int = 8
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoder = Encoder(self.d_model, self.h, self.N, self.dropout)
-        self.decoder = Decoder(self.d_model, self.h, self.N, self.dropout)
-        self.src_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout)
-        self.tgt_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout)
+        self.encoder = Encoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype)
+        self.decoder = Decoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype)
+        self.src_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype)
+        self.tgt_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype)
+        # Generator output stays float32 (regression head).
         self.generator_proj = nn.Dense(self.tgt_g_len, kernel_init=XAVIER)
 
     def encode(self, src, src_mask, deterministic: bool = True):
@@ -251,12 +265,16 @@ def make_model(
     d_model: int = 32,
     h: int = 8,
     dropout: float = 0.1,
+    dtype: Any = jnp.float32,
 ) -> EncoderDecoder:
     """Construct the model (model/model.py:46-65; ``stacking`` is part of the
-    reference signature but unused in construction there too)."""
+    reference signature but unused in construction there too). ``dtype=bf16``
+    enables mixed precision (fp32 params, bf16 matmuls) — the TPU analog of
+    the reference's ``model.half()``."""
     del stacking
     return EncoderDecoder(
-        src_g_len=src_g_len, tgt_g_len=tgt_g_len, N=N, d_model=d_model, h=h, dropout=dropout
+        src_g_len=src_g_len, tgt_g_len=tgt_g_len, N=N, d_model=d_model, h=h,
+        dropout=dropout, dtype=dtype,
     )
 
 

@@ -224,3 +224,21 @@ class TestBoxSort:
         h = GaussianHandler.create(scene, interval_num=3)
         tokens = np.asarray(h.box_sort(scene))
         assert tokens.shape == (16, TOKEN_DIM)
+
+
+class TestBf16:
+    def test_bf16_close_to_fp32(self):
+        model32 = make_model(0, 32, 32, N=1, d_model=32, dropout=0.0)
+        model16 = make_model(0, 32, 32, N=1, d_model=32, dropout=0.0, dtype=jnp.bfloat16)
+        variables = init_model(model32, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(9)
+        src = jnp.asarray(rng.randn(1, 6, 32), jnp.float32)
+        tgt = jnp.asarray(rng.randn(1, 5, 32), jnp.float32)
+        a = model32.apply(variables, src, tgt, None, subsequent_mask(5), True)
+        b = model16.apply(variables, src, tgt, None, subsequent_mask(5), True)
+        # Params stay fp32 and are shared; bf16 matmuls -> ~1e-2 relative noise.
+        assert np.abs(np.asarray(b, np.float32) - np.asarray(a)).max() < 0.15
+        # And the param trees are identical shapes (mixed precision, not cast).
+        assert jax.tree.all(
+            jax.tree.map(lambda x: x.dtype == jnp.float32, variables)
+        )
