@@ -151,3 +151,32 @@ class TestDecodeAndLoss:
         v2, o2 = load_checkpoint(str(tmp_path), 7, variables, opt_state)
         for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCachedDecode:
+    def test_matches_scan_decode(self):
+        """KV-cached inference decode must reproduce the trainers'
+        backprop-able scan decode exactly."""
+        from gaussian_transformer_tpu.models.decode_cache import greedy_decode_cached
+
+        model = small_model()
+        variables = init_model(model, jax.random.PRNGKey(3))
+        src = jnp.asarray(np.random.RandomState(6).randn(1, 7, D_S), jnp.float32)
+        ref = greedy_decode(model, variables, src, None, max_len=6, stack=STACK_S)
+        out = greedy_decode_cached(
+            model, variables, src, None, 6,
+            jnp.tile(jnp.asarray(np.asarray(ref[0, 0])), (1, 1))[0],
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_cached_with_src_mask(self):
+        from gaussian_transformer_tpu.models.decode_cache import greedy_decode_cached
+        from gaussian_transformer_tpu.train.stacked import start_token
+
+        model = small_model()
+        variables = init_model(model, jax.random.PRNGKey(4))
+        src = jnp.asarray(np.random.RandomState(7).randn(1, 8, D_S), jnp.float32)
+        src_mask = jnp.asarray(np.ones((1, 1, 8), bool)).at[0, 0, 5:].set(False)
+        ref = greedy_decode(model, variables, src, src_mask, max_len=5, stack=STACK_S)
+        out = greedy_decode_cached(model, variables, src, src_mask, 5, start_token(STACK_S))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
