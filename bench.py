@@ -27,6 +27,11 @@ WARMUP, ITERS = 2, 10
 
 def main():
     import jax
+
+    # Persistent compilation cache: the step graph takes minutes to compile;
+    # repeat bench runs should pay it once.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from gaussian_transformer_tpu.render import RenderConfig

@@ -176,6 +176,7 @@ def _fwd_one_tile(counts_ref, props_hw_ref, color_ref, t_ref, tb, grid_w, t_bloc
 def _bwd_kernel(
     counts_ref,
     props_hw_ref,
+    color_ref,
     final_t_ref,
     g_color_ref,
     g_t_ref,
@@ -195,13 +196,13 @@ def _bwd_kernel(
     """
     for tb in range(t_block):
         _bwd_one_tile(
-            counts_ref, props_hw_ref, final_t_ref, g_color_ref, g_t_ref, dprops_ref,
-            tb, grid_w, t_block,
+            counts_ref, props_hw_ref, color_ref, final_t_ref, g_color_ref, g_t_ref,
+            dprops_ref, tb, grid_w, t_block,
         )
 
 
 def _bwd_one_tile(
-    counts_ref, props_hw_ref, final_t_ref, g_color_ref, g_t_ref, dprops_ref,
+    counts_ref, props_hw_ref, color_ref, final_t_ref, g_color_ref, g_t_ref, dprops_ref,
     tb, grid_w, t_block,
 ):
     t = pl.program_id(0) * t_block + tb
@@ -214,33 +215,9 @@ def _bwd_one_tile(
     n_chunks = pl.cdiv(count, CH)
     dprops_ref[tb] = jnp.zeros_like(dprops_ref[tb])
 
-    # Pass 1: total pre-background color C_total (needed for suffix sums).
-    def body1(carry):
-        ci, color, t_run, live = carry
-        alpha, _, rgb, *_ = _chunk_alpha(props_hw_ref, tb, ci * CH, px, py)
-        t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
-        trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
-        done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
-        live_k = jnp.where(done_inc, 0.0, live)
-        w = alpha * t_in * live_k
-        color = color + jax.lax.dot_general(
-            rgb, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        t_run = t_run * _row_product(1.0 - alpha * live_k)
-        live = live * (1.0 - done_inc[-1:].astype(jnp.float32))
-        return ci + 1, color, t_run, live
-
-    def cond1(carry):
-        ci, _, t_run, live = carry
-        return (ci < n_chunks) & (jnp.max(t_run * live) >= 1e-4)
-
-    init = (
-        jnp.int32(0),
-        jnp.zeros((3, P), jnp.float32),
-        jnp.ones((1, P), jnp.float32),
-        jnp.ones((1, P), jnp.float32),
-    )
-    _, c_total, _, _ = jax.lax.while_loop(cond1, body1, init)
+    # The forward's (pre-background) color output IS the C_total the suffix
+    # sums need — read it instead of replaying a whole forward pass.
+    c_total = color_ref[tb]  # [3, P]
 
     # Pass 2: replay with gradient emission.
     def body2(ci, carry):
@@ -384,15 +361,15 @@ def _fwd(props, counts, grid_w):
 
 def _fwd_rule(props, counts, grid_w):
     color, final_t = _fwd(props, counts, grid_w)
-    return (color, final_t), (props, counts, final_t)
+    return (color, final_t), (props, counts, color, final_t)
 
 
 def _bwd_rule(grid_w, residuals, cotangents):
-    props, counts, final_t = residuals
+    props, counts, color, final_t = residuals
     g_color, g_t = cotangents
     T, K, F = props.shape
-    (props_p, counts_p, final_t_p, g_color_p, g_t_p), T_pad = _pad_tiles(
-        [props, counts, final_t, g_color, g_t], T
+    (props_p, counts_p, color_p, final_t_p, g_color_p, g_t_p), T_pad = _pad_tiles(
+        [props, counts, color, final_t, g_color, g_t], T
     )
     TB = T_BLOCK
     kernel = functools.partial(_bwd_kernel, grid_w=grid_w, t_block=TB)
@@ -401,6 +378,7 @@ def _bwd_rule(grid_w, residuals, cotangents):
         grid=(T_pad // TB,),
         in_specs=[
             pl.BlockSpec((TB, K, PROPS_F), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 3, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 3, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1, P), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -412,7 +390,7 @@ def _bwd_rule(grid_w, residuals, cotangents):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T_pad, K, PROPS_F), jnp.float32),
         interpret=_use_interpret(),
-    )(counts_p, props_p, final_t_p, g_color_p, g_t_p)
+    )(counts_p, props_p, color_p, final_t_p, g_color_p, g_t_p)
     return (dprops[:T], jnp.zeros_like(counts))
 
 
