@@ -12,8 +12,9 @@ Differences by design (TPU-first, not a port):
     (reference ``scene/gaussian_model.py:405-407``).
   * Static shapes everywhere: capacity-padded Gaussians, padded tile lists.
 
-Pipeline: project (project.py) -> depth sort + tile binning (tiles.py) ->
-front-to-back composite (composite.py).
+Pipeline: project (project.py) -> depth sort + instance-sort tile binning
+(tiles.py) -> front-to-back composite (pallas_composite.py on TPU,
+composite.py as the pure-XLA fallback/golden model).
 """
 
 from __future__ import annotations

@@ -14,10 +14,11 @@ tensors in HBM; this kernel keeps the whole recurrence in VMEM:
   * exact upstream semantics: alpha = min(0.99, opac * exp(power)), skip when
     power > 0 or alpha < 1/255, stop before the contribution that would push
     T below 1e-4,
-  * the backward kernel REPLAYS the same forward recurrence (the Pallas analog
-    of the CUDA backward's transmittance replay) and emits per-instance grads
-    [K, 16]; the XLA gather that built the props carries them back to the
-    per-Gaussian arrays as its own VJP (a scatter-add).
+  * the backward kernel REPLAYS the forward recurrence (the Pallas analog of
+    the CUDA backward's transmittance replay) using the saved forward color as
+    the suffix-sum total, and emits per-tile-entry grads [K, 16]; a custom VJP
+    on the table build pulls them back to the per-Gaussian arrays through the
+    instance domain (row gather at (tile, rank) + segment add).
 
 Property row layout (PROPS_F = 16, lanes padded):
   0: x   1: y   2: conic_a   3: conic_b   4: conic_c

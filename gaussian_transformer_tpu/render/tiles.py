@@ -7,11 +7,12 @@ static shapes, so instead we:
 
   1. globally sort all C Gaussians by depth once (``jax.lax.sort``) — culled
      Gaussians sort to the back via an +inf key,
-  2. for each tile, select the first ``max_per_tile`` depth-ordered Gaussians
-     whose screen bounding rect overlaps the tile (``jnp.nonzero`` with a static
-     ``size``) — front-to-back order is inherited from the global sort, and
-     overflow drops the FARTHEST Gaussians, which the saturating compositor
-     would weight least anyway.
+  2. each Gaussian emits one instance per covered tile (computed positionally
+     from a cumulative-coverage layout, no [C, R] materialization), ONE stable
+     ``lax.sort`` by tile id yields contiguous depth-ordered per-tile runs,
+     and per-tile lists come from contiguous-run row gathers — front-to-back
+     order is inherited from the global sort; overflow drops the FARTHEST
+     Gaussians, which the saturating compositor would weight least anyway.
 
 Tile size is 16x16 pixels (matches the upstream BLOCK_X/BLOCK_Y); a 16x16 tile
 flattens to 256 = 2x128 lanes, which keeps the compositor VPU-aligned.
@@ -79,8 +80,9 @@ def bin_gaussians(
     Gaussians are globally depth-sorted once, each emits up to
     ``max_tiles_per_gaussian`` (tile-id, gaussian) instances from its screen
     rect, and ONE stable ``lax.sort`` by tile id yields contiguous per-tile
-    runs that inherit front-to-back order. Per-tile lists are then a
-    ``searchsorted`` + gather — no per-tile scans over all Gaussians.
+    runs that inherit front-to-back order. Per-tile lists are contiguous-run
+    row gathers (vmapped dynamic_slice) — no per-tile scans over all
+    Gaussians, no searchsorted (which lowers poorly on TPU).
 
     Args:
       include: [C] bool — which Gaussians may contribute at all (radius > 0,

@@ -81,6 +81,7 @@ def dropout_schedule(epoch: int) -> float:
 @dataclasses.dataclass
 class StackedBatch:
     src: jnp.ndarray  # [1, Ls, D]
+    src_mask: jnp.ndarray  # [1, 1, Ls] — False on bucket-padding PAD tokens
     trg: jnp.ndarray  # [1, Lt, D] (decoder input, starts with START)
     trg_y: jnp.ndarray  # [1, Lt, D] (shifted target)
     trg_mask: jnp.ndarray  # [1, Lt, Lt]
@@ -191,8 +192,14 @@ class TrainingScene:
 
         trg = jnp.asarray(tgt_full[None, :-1])
         trg_y = jnp.asarray(tgt_full[None, 1:])
+        src_j = jnp.asarray(src[None])
+        # The reference feeds exact-length sequences with src_mask=None
+        # (train_stacked_transformer.py:115); our static buckets pad with PAD
+        # tokens, which MUST be masked out of the encoder to stay equivalent.
+        src_mask = ~fuzzy_token_equal(src_j, pad_token(self.stack))[:, None, :]
         return StackedBatch(
-            src=jnp.asarray(src[None]),
+            src=src_j,
+            src_mask=src_mask,
             trg=trg,
             trg_y=trg_y,
             trg_mask=make_std_mask(trg, self.stack),
@@ -230,8 +237,8 @@ def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: Re
     (train_stacked_transformer.py:178-251). Returns fn(variables, src, trg_y,
     cams_stacked, n_cams) -> (loss, metrics)."""
 
-    def loss_fn(variables, src, trg_y, cams):
-        pred = greedy_decode(model, variables, src, None, trg_y.shape[1] + 1, stack)[:, 1:]
+    def loss_fn(variables, src, trg_y, cams, src_mask=None):
+        pred = greedy_decode(model, variables, src, src_mask, trg_y.shape[1] + 1, stack)[:, 1:]
         pred_list = unstack_tokens(pred[0], stack)  # [Lt*2^s, 26]
         tgt_list = unstack_tokens(trg_y[0], stack)
 
@@ -299,9 +306,9 @@ def make_train_step(model, handler, render_cfg, optimizer, stack: int = STACK):
     loss_fn = make_loss_fn(model, handler, render_cfg, stack)
 
     @jax.jit
-    def step(params, opt_state, src, trg_y, cams, lr):
+    def step(params, opt_state, src, trg_y, cams, lr, src_mask=None):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, src, trg_y, cams
+            params, src, trg_y, cams, src_mask
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: u * (lr / 1.0), updates)

@@ -46,8 +46,9 @@ def main():
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
 
-    from gaussian_transformer_tpu.models.transformer import make_model, init_model
-    from gaussian_transformer_tpu.render import RenderConfig
+    from gaussian_transformer_tpu.models.codec import unflatten_gaussians, unstack_tokens
+    from gaussian_transformer_tpu.models.transformer import EncoderDecoder, make_model, init_model
+    from gaussian_transformer_tpu.render import RenderConfig, render
     from gaussian_transformer_tpu.scene import Scene
     from gaussian_transformer_tpu.train.stacked import (
         ReduceLROnPlateau,
@@ -98,6 +99,28 @@ def main():
 
     step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, args.stack)
 
+    # Viewer hook (reference handleViewer, train_stacked_transformer.py:284-320):
+    # teacher-forced forward of the LAST batch, rendered prompt+prediction.
+    last_batch = {}
+
+    @jax.jit
+    def _viewer_image(params, src, trg, src_mask, trg_mask, cam, smod):
+        out = model.apply(params, src, trg, src_mask, trg_mask, True)
+        gen = model.apply(params, out, method=EncoderDecoder.generator)
+        tokens = jnp.concatenate([src[0], gen[0]], axis=0)
+        g = tscene.handler.denormalize(
+            unflatten_gaussians(unstack_tokens(tokens, args.stack))
+        )
+        return render(cam, g, render_cfg, scaling_modifier=smod)["render"]
+
+    def viewer_fn(cam, smod):
+        if "b" not in last_batch:
+            return None
+        b = last_batch["b"]
+        return _viewer_image(
+            params, b.src, b.trg, b.src_mask, b.trg_mask, cam, jnp.float32(smod)
+        )
+
     global_step = 0
     for epoch in range(first_epoch, args.epochs):
         try:
@@ -106,12 +129,11 @@ def main():
             for batch in tscene.batches():
                 if batch is None:
                     continue
-                network_gui.pump(
-                    lambda cam, scaling_mod: None  # viewer decode hook lands with the viewer CLI
-                )
+                last_batch["b"] = batch
+                network_gui.pump(viewer_fn, dataset.source_path)
                 params, opt_state, loss, metrics = step_fn(
                     params, opt_state, batch.src, batch.trg_y, batch.cameras,
-                    jnp.asarray(scheduler.lr),
+                    jnp.asarray(scheduler.lr), batch.src_mask,
                 )
                 loss = float(loss)
                 total_loss += loss
