@@ -57,6 +57,12 @@ def main():
 
     opt = OptConfig()
     cfg = RenderConfig(max_per_tile=256)
+    # Right-size the instance budget to this scene (same policy the trainer
+    # applies at startup; binning work is linear in the budget).
+    from gaussian_transformer_tpu.render import render, tune_config
+
+    probe = render(cam, scene, cfg)
+    cfg = tune_config(cfg, int(np.asarray(probe["n_instances"])))
     adam = AdamState.init(scene)
     stats = DensifyStats.init(scene.capacity)
     bg = jnp.zeros(3, jnp.float32)

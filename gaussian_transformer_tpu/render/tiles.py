@@ -45,6 +45,7 @@ class Binned(NamedTuple):
     inst_tile: jnp.ndarray
     inst_rank: jnp.ndarray
     inst_gauss: jnp.ndarray
+    n_instances: jnp.ndarray  # [] int32 — true (uncapped) instance total
 
 
 def compute_rects(means2d: jnp.ndarray, radii: jnp.ndarray, grid_w: int, grid_h: int):
@@ -175,4 +176,5 @@ def bin_gaussians(
         inst_tile=sorted_tiles,
         inst_rank=inst_rank,
         inst_gauss=sorted_payload,
+        n_instances=jnp.sum(cov_raw),
     )

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussian_transformer_tpu.ops.losses import l1_loss, ssim
-from gaussian_transformer_tpu.render import RenderConfig, render
+from gaussian_transformer_tpu.render import RenderConfig, render, tune_config
 from gaussian_transformer_tpu.scene.densify import (
     DensifyStats,
     add_densification_stats,
@@ -202,6 +202,18 @@ def training(
     bg = jnp.ones(3, jnp.float32) if white_background else jnp.zeros(3, jnp.float32)
     key = jax.random.PRNGKey(seed)
 
+    def _retune(cfg, g):
+        # Right-size the instance budget to the measured splat coverage; the
+        # binning work is linear in the budget (render/__init__.tune_config).
+        # Only worth the extra probe+recompile at scale — small scenes run at
+        # the default budget (and reuse its compile cache).
+        if g.capacity < 50_000:
+            return cfg
+        probe = render(scene_obj.get_train_cameras()[0], g, cfg, bg_color=bg)
+        return tune_config(cfg, int(np.asarray(probe["n_instances"])))
+
+    render_cfg = _retune(render_cfg, gaussians)
+
     viewpoint_stack = []
     ema_loss = 0.0
     t_iter_ema = 0.0
@@ -272,6 +284,7 @@ def training(
                     adam = compact_state(adam, gaussians.alive, new_cap)
                     gaussians = gaussians.compact(new_cap)
                     stats = DensifyStats.init(new_cap)
+                    render_cfg = _retune(render_cfg, gaussians)
             if (
                 iteration % opt.opacity_reset_interval == 0
                 or (white_background and iteration == opt.densify_from_iter)
