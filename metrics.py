@@ -97,6 +97,14 @@ def main():
         "--model_paths", "-m", required=True, nargs="+", type=str, default=[]
     )
     args = parser.parse_args()
+    # Platform override that works even where PJRT plugins ignore
+    # JAX_PLATFORMS (e.g. tunneled TPU images): set GT_PLATFORM=cpu.
+    import os as _os
+
+    if _os.environ.get("GT_PLATFORM"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["GT_PLATFORM"])
     evaluate(args.model_paths)
 
 

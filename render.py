@@ -76,6 +76,14 @@ def main():
     parser.add_argument("--quiet", action="store_true")
     args = get_combined_args(parser)
     print("Rendering " + args.model_path)
+    # Platform override that works even where PJRT plugins ignore
+    # JAX_PLATFORMS (e.g. tunneled TPU images): set GT_PLATFORM=cpu.
+    import os as _os
+
+    if _os.environ.get("GT_PLATFORM"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["GT_PLATFORM"])
 
     safe_state(args.quiet)
     render_sets(

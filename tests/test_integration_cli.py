@@ -73,6 +73,7 @@ def build_colmap_scene(root, n_points=96, n_cams=6, width=64, height=48):
 def run_cli(args, cwd=REPO):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["GT_PLATFORM"] = "cpu"  # the axon TPU plugin ignores JAX_PLATFORMS
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable] + args, cwd=cwd, env=env, capture_output=True, text=True, timeout=1500

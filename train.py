@@ -43,6 +43,14 @@ def main():
 
     print("Optimizing " + args.model_path)
     safe_state(args.quiet)
+    # Platform override that works even where PJRT plugins ignore
+    # JAX_PLATFORMS (e.g. tunneled TPU images): set GT_PLATFORM=cpu.
+    import os as _os
+
+    if _os.environ.get("GT_PLATFORM"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["GT_PLATFORM"])
 
     if args.detect_anomaly:
         import jax

@@ -38,6 +38,14 @@ def main():
     args = parser.parse_args(sys.argv[1:])
 
     print("Optimizing " + args.model_path)
+    # Platform override that works even where PJRT plugins ignore
+    # JAX_PLATFORMS (e.g. tunneled TPU images): set GT_PLATFORM=cpu.
+    import os as _os
+
+    if _os.environ.get("GT_PLATFORM"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["GT_PLATFORM"])
 
     import jax
     import jax.numpy as jnp
