@@ -1,9 +1,10 @@
 """LPIPS perceptual metric in JAX (vgg / alex backbones).
 
 Architecture parity with the vendored ``/root/reference/lpipsPyTorch``
-(modules/networks.py:12-97, modules/lpips.py:8-36): ImageNet-normalized
-inputs, conv-trunk feature stages, per-stage unit-normalize on the channel
-axis, squared difference, 1x1 linear heads, spatial mean, sum over stages.
+(modules/networks.py:12-97, modules/lpips.py:8-36): richzhang-scaled inputs
+(z_score applied to the [0,1] tensors as metrics.py feeds them), conv-trunk
+feature stages, per-stage unit-normalize on the channel axis, squared
+difference, 1x1 linear heads, spatial mean, sum over stages.
 
 Pretrained weights CANNOT be downloaded in this environment (zero egress), so
 the trunks+heads load from an ``.npz`` produced by
@@ -25,9 +26,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# ImageNet normalization used by LPIPS (lpipsPyTorch modules/networks.py).
-_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
-_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+# richzhang scaling-layer constants (reference lpipsPyTorch
+# modules/networks.py:41-44 BaseNet.z_score). NOTE: the reference applies
+# these DIRECTLY to the [0,1] tensors metrics.py feeds it (no 2x-1 remap),
+# and we reproduce that exactly so results.json LPIPS values are comparable.
+_MEAN = np.asarray([-0.030, -0.088, -0.188], np.float32)
+_STD = np.asarray([0.458, 0.448, 0.450], np.float32)
 
 # Conv configs: (out_channels, kernel, stride, pad) per layer; 'M' = maxpool.
 # torchvision .features layouts.

@@ -19,18 +19,24 @@ import jax
 import jax.numpy as jnp
 
 
-def _min_dist_one_way(a, b, block: int):
-    """a [N, D], b [M, D] -> (min squared dist [N], argmin [N])."""
+def _min_dist_one_way(a, b, block: int, b_valid=None):
+    """a [N, D], b [M, D] -> (min squared dist [N], argmin [N]).
+
+    ``b_valid`` [M] bool: invalid b points are excluded as match targets
+    (their distances ride as +inf in the min)."""
     n, d = a.shape
     pad = (-n) % block
     a_p = jnp.pad(a, ((0, pad), (0, 0)))
     b_sq = jnp.sum(b * b, axis=-1)
+    b_penalty = None if b_valid is None else jnp.where(b_valid, 0.0, jnp.inf)
 
     def body(carry, i):
         del carry
         rows = jax.lax.dynamic_slice_in_dim(a_p, i * block, block)
         d2 = jnp.sum(rows * rows, axis=-1)[:, None] + b_sq[None, :] - 2.0 * rows @ b.T
         d2 = jnp.maximum(d2, 0.0)
+        if b_penalty is not None:
+            d2 = d2 + b_penalty[None, :]
         return None, (jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1))
 
     _, (mins, idxs) = jax.lax.scan(body, None, jnp.arange(a_p.shape[0] // block))
@@ -38,21 +44,35 @@ def _min_dist_one_way(a, b, block: int):
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def chamfer_distance(a, b, block: int = 512):
+def chamfer_distance(a, b, a_valid=None, b_valid=None, block: int = 512):
     """a [B, N, D], b [B, M, D] -> (dist1 [B,N], dist2 [B,M], idx1, idx2).
 
     Differentiable w.r.t. a and b through the matched pairs (stop-gradient on
     the indices), mirroring the CUDA extension's backward.
+
+    Optional ``a_valid`` [B, N] / ``b_valid`` [B, M] bool masks support padded
+    point sets (the reference trains on exact-length sequences;
+    static-bucketed batches must exclude PAD rows): invalid points are never
+    match TARGETS for the other set, and their own dist rows are zeroed —
+    compute means as sum(dist)/count(valid).
     """
     a = jnp.asarray(a, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)
+    if a_valid is None:
+        a_valid = jnp.ones(a.shape[:2], bool)
+    if b_valid is None:
+        b_valid = jnp.ones(b.shape[:2], bool)
 
-    def one(a1, b1):
-        _, idx1 = _min_dist_one_way(jax.lax.stop_gradient(a1), jax.lax.stop_gradient(b1), block)
-        _, idx2 = _min_dist_one_way(jax.lax.stop_gradient(b1), jax.lax.stop_gradient(a1), block)
+    def one(a1, b1, av, bv):
+        _, idx1 = _min_dist_one_way(
+            jax.lax.stop_gradient(a1), jax.lax.stop_gradient(b1), block, b_valid=bv
+        )
+        _, idx2 = _min_dist_one_way(
+            jax.lax.stop_gradient(b1), jax.lax.stop_gradient(a1), block, b_valid=av
+        )
         # Re-gather so gradients flow through the matched pairs exactly.
-        d1 = jnp.sum((a1 - b1[idx1]) ** 2, axis=-1)
-        d2 = jnp.sum((b1 - a1[idx2]) ** 2, axis=-1)
+        d1 = jnp.sum((a1 - b1[idx1]) ** 2, axis=-1) * av.astype(a1.dtype)
+        d2 = jnp.sum((b1 - a1[idx2]) ** 2, axis=-1) * bv.astype(b1.dtype)
         return d1, d2, idx1, idx2
 
-    return jax.vmap(one)(a, b)
+    return jax.vmap(one)(a, b, a_valid, b_valid)

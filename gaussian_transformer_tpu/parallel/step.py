@@ -84,6 +84,11 @@ def make_sharded_train_step(opt, render_cfg):
         scene, adam = adam_step(scene, gparams, adam, leaf_learning_rates(opt, xyz_lr))
 
         # Batched densification stats == B sequential reference iterations.
+        # Pixel-unit grads -> NDC-half units (reference CUDA backward scales
+        # dL_dmean2D by 0.5*W/0.5*H; densify_grad_threshold is calibrated to it).
+        from gaussian_transformer_tpu.scene.densify import ndc_grad_scale
+
+        goffsets = goffsets * ndc_grad_scale(cams.image_width, cams.image_height)[None, None, :]
         gnorm = jnp.linalg.norm(goffsets, axis=-1)  # [B, C]
         visf = vis.astype(jnp.float32)
         stats = DensifyStats(

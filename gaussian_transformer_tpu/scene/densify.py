@@ -52,15 +52,32 @@ class DensifyStats:
         )
 
 
+def ndc_grad_scale(width: int, height: int) -> jnp.ndarray:
+    """Pixel-space -> NDC-half-extent gradient scale [2].
+
+    The reference CUDA backward reports dL/dmean2D in NDC units — its pixel
+    grads are multiplied by 0.5*W / 0.5*H (diff-gaussian-rasterization
+    backward.cu, consumed at gaussian_model.py:405-407) — and
+    ``densify_grad_threshold=0.0002`` is calibrated to that. Our
+    ``screenspace_offset`` differentiates in PIXEL units, so the grads must be
+    scaled by [0.5*W, 0.5*H] before thresholding or clone/split never fire at
+    reference settings."""
+    return jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
+
+
 def add_densification_stats(
     stats: DensifyStats,
-    screenspace_grad: jnp.ndarray,  # [C, 2] d(loss)/d(means2d)
+    screenspace_grad: jnp.ndarray,  # [C, 2] d(loss)/d(means2d) in PIXEL units
     visibility: jnp.ndarray,  # [C] bool
     radii: jnp.ndarray,  # [C]
+    image_size=None,  # (width, height) — when given, rescale to NDC units
 ) -> DensifyStats:
     """Accumulate screen-space gradient norms + track max screen radius
     (gaussian_model.py:405-407 and train.py:115)."""
-    gnorm = jnp.linalg.norm(screenspace_grad[:, :2], axis=-1)
+    g = screenspace_grad[:, :2]
+    if image_size is not None:
+        g = g * ndc_grad_scale(image_size[0], image_size[1])[None, :]
+    gnorm = jnp.linalg.norm(g, axis=-1)
     vis = visibility.astype(jnp.float32)
     return DensifyStats(
         xyz_gradient_accum=stats.xyz_gradient_accum + gnorm * vis,

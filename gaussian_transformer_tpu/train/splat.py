@@ -109,7 +109,9 @@ def train_step(
         max_steps=opt.position_lr_max_steps,
     )
     scene, adam = adam_step(scene, gparams, adam, leaf_learning_rates(opt, xyz_lr))
-    stats = add_densification_stats(stats, goffset, vis, radii)
+    stats = add_densification_stats(
+        stats, goffset, vis, radii, image_size=(camera.image_width, camera.image_height)
+    )
     metrics = {"loss": loss, "l1": l1, "n_visible": jnp.sum(vis.astype(jnp.int32)), "radii": radii}
     return scene, adam, stats, metrics
 

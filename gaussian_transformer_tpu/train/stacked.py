@@ -242,16 +242,30 @@ def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: Re
         pred_list = unstack_tokens(pred[0], stack)  # [Lt*2^s, 26]
         tgt_list = unstack_tokens(trg_y[0], stack)
 
-        d1, d2, _, _ = chamfer_distance(pred_list[None], tgt_list[None])
-        chamfer = jnp.mean(d1) + jnp.mean(d2)
+        # The reference trains on exact-length sequences; our static buckets
+        # append PAD fat tokens, which must NOT contribute to the loss (PAD
+        # unflattens to alpha=0.5 gaussians at the origin and would both
+        # pollute target renders and attract predictions). A fat token's
+        # 2^s gaussians are contiguous after unstack, so the fat-token mask
+        # expands by repetition.
+        valid_fat = ~fuzzy_token_equal(trg_y[0], pad_token(stack))  # [Lt]
+        valid = jnp.repeat(valid_fat, 2**stack)  # [Lt*2^s]
+        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+
+        d1, d2, _, _ = chamfer_distance(
+            pred_list[None], tgt_list[None], a_valid=valid[None], b_valid=valid[None]
+        )
+        chamfer = jnp.sum(d1) / n_valid + jnp.sum(d2) / n_valid
 
         n_cams = len(cams) if isinstance(cams, (list, tuple)) else cams.world_view_transform.shape[0]
 
         def with_images(_):
             # Tokens are normalized; denormalize before rendering (reference
             # renders through display()/unflatten on denormalized lists).
-            g_pred = handler.denormalize(unflatten_gaussians(pred_list))
-            g_tgt = handler.denormalize(unflatten_gaussians(tgt_list))
+            # PAD-derived rows are dropped via the alive mask so target/pred
+            # renders contain no spurious splats.
+            g_pred = handler.denormalize(unflatten_gaussians(pred_list)).replace(alive=valid)
+            g_tgt = handler.denormalize(unflatten_gaussians(tgt_list)).replace(alive=valid)
 
             imgs, tgt_imgs = [], []
             for cam in cams:
@@ -273,30 +287,45 @@ def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: Re
 
 
 class ReduceLROnPlateau:
-    """Host-side lr controller matching torch's defaults plus the reference's
-    cooldown=5 (train_stacked_transformer.py:367): factor 0.1, patience 10."""
+    """Host-side lr controller with torch's exact semantics (mode='min',
+    threshold_mode='rel', threshold=1e-4) plus the reference's cooldown=5
+    (train_stacked_transformer.py:367): factor 0.1, patience 10.
 
-    def __init__(self, lr: float, factor: float = 0.1, patience: int = 10, cooldown: int = 5):
+    Torch order of operations per step: (1) relative-improvement compare
+    ``loss < best * (1 - threshold)`` updates best/resets bad count, else bad
+    count increments; (2) during cooldown the counter decrements and the bad
+    count is HELD at 0; (3) reduce when bad count exceeds patience."""
+
+    def __init__(
+        self,
+        lr: float,
+        factor: float = 0.1,
+        patience: int = 10,
+        cooldown: int = 5,
+        threshold: float = 1e-4,
+    ):
         self.lr = lr
         self.factor = factor
         self.patience = patience
         self.cooldown = cooldown
+        self.threshold = threshold
         self.best = float("inf")
         self.bad = 0
         self.cool = 0
 
     def step(self, loss: float) -> float:
-        if loss < self.best:
+        if loss < self.best * (1.0 - self.threshold):
             self.best = loss
             self.bad = 0
-        elif self.cool > 0:
-            self.cool -= 1
         else:
             self.bad += 1
-            if self.bad > self.patience:
-                self.lr *= self.factor
-                self.bad = 0
-                self.cool = self.cooldown
+        if self.cool > 0:
+            self.cool -= 1
+            self.bad = 0
+        if self.bad > self.patience:
+            self.lr *= self.factor
+            self.cool = self.cooldown
+            self.bad = 0
         return self.lr
 
 

@@ -73,22 +73,25 @@ int gt_read_images_bin(const char* path, int32_t** ids_out, double** qvec_out,
   double* tvec = (double*)malloc(n * 3 * 8);
   int32_t* cam_ids = (int32_t*)malloc(n * 4);
   std::string names;
-  if (!ids || !qvec || !tvec || !cam_ids) { fclose(f); return -3; }
+  auto fail = [&](int rc) {
+    fclose(f); free(ids); free(qvec); free(tvec); free(cam_ids); return rc;
+  };
+  if (!ids || !qvec || !tvec || !cam_ids) return fail(-3);
   for (uint64_t i = 0; i < n; i++) {
     uint32_t image_id, camera_id;
     if (fread(&image_id, 4, 1, f) != 1 ||
         fread(qvec + 4 * i, 8, 4, f) != 4 ||
         fread(tvec + 3 * i, 8, 3, f) != 3 ||
-        fread(&camera_id, 4, 1, f) != 1) { fclose(f); return -4; }
+        fread(&camera_id, 4, 1, f) != 1) return fail(-4);
     ids[i] = (int32_t)image_id;
     cam_ids[i] = (int32_t)camera_id;
     int c;
     while ((c = fgetc(f)) > 0) names.push_back((char)c);
-    if (c < 0) { fclose(f); return -5; }
+    if (c < 0) return fail(-5);
     names.push_back('\n');
     uint64_t npts;
     if (fread(&npts, 8, 1, f) != 1 ||
-        fseek(f, (long)(npts * 24), SEEK_CUR) != 0) { fclose(f); return -6; }
+        fseek(f, (long)(npts * 24), SEEK_CUR) != 0) return fail(-6);
   }
   fclose(f);
   char* nm = (char*)malloc(names.size() + 1);
@@ -120,8 +123,9 @@ int gt_read_ply_f32(const char* path, float** data_out, char** names_out,
       rows = strtoull(line + 14, nullptr, 10);
       in_vertex = true;
     } else if (strncmp(line, "element", 7) == 0) in_vertex = false;
-    else if (in_vertex && strncmp(line, "property float", 14) == 0) {
-      const char* nm = line + 14;
+    else if (in_vertex && (strncmp(line, "property float32 ", 17) == 0 ||
+                           strncmp(line, "property float ", 15) == 0)) {
+      const char* nm = line + (line[14] == '3' ? 17 : 15);
       while (*nm == ' ') nm++;
       std::string s(nm);
       while (!s.empty() && (s.back() == '\n' || s.back() == '\r')) s.pop_back();
@@ -132,6 +136,7 @@ int gt_read_ply_f32(const char* path, float** data_out, char** names_out,
   }
   if (!binary_le || cols == 0) { fclose(f); return -3; }
   float* data = (float*)malloc(rows * cols * 4);
+  if (!data) { fclose(f); return -3; }
   if (fread(data, 4, rows * cols, f) != rows * cols) { fclose(f); free(data); return -4; }
   fclose(f);
   char* nm = (char*)malloc(names.size() + 1);

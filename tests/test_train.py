@@ -164,6 +164,19 @@ class TestDensify:
         np.testing.assert_allclose(np.asarray(st.denom), [1, 1, 0, 0])
         np.testing.assert_allclose(np.asarray(st.max_radii2d), [7, 2, 0, 0])
 
+    def test_stats_ndc_units(self):
+        # Reference-convention parity: the CUDA backward reports dL/dmean2D in
+        # NDC units = pixel grads * (0.5*W, 0.5*H); image_size applies the same
+        # rescale so densify_grad_threshold=0.0002 keeps its calibration.
+        stats = DensifyStats.init(2)
+        g = jnp.asarray([[0.01, 0.02], [0.0, 0.0]])
+        vis = jnp.asarray([True, True])
+        radii = jnp.asarray([3, 0])
+        W, H = 640, 480
+        st = add_densification_stats(stats, g, vis, radii, image_size=(W, H))
+        expect = np.linalg.norm([0.01 * 0.5 * W, 0.02 * 0.5 * H])
+        np.testing.assert_allclose(np.asarray(st.xyz_gradient_accum), [expect, 0.0], rtol=1e-6)
+
 
 def _synthetic_scene_and_cams(n=48, n_cams=6, width=48, height=36, seed=7):
     """A ground-truth scene rendered from several viewpoints => cameras with GT
@@ -232,7 +245,7 @@ class TestTrainStep:
         opt = OptConfig(
             iterations=80, densify_from_iter=10, densify_until_iter=70,
             densification_interval=25, opacity_reset_interval=1000,
-            densify_grad_threshold=1e-5, position_lr_max_steps=80,
+            densify_grad_threshold=0.0002, position_lr_max_steps=80,
         )
         out = training(
             scene_obj, opt, RenderConfig(max_per_tile=64),
