@@ -62,7 +62,7 @@ def main():
     from gaussian_transformer_tpu.render import render, tune_config
 
     probe = render(cam, scene, cfg)
-    cfg = tune_config(cfg, int(np.asarray(probe["n_instances"])))
+    cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded") if k in probe})
     adam = AdamState.init(scene)
     stats = DensifyStats.init(scene.capacity)
     bg = jnp.zeros(3, jnp.float32)

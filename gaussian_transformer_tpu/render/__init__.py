@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -31,17 +32,31 @@ from gaussian_transformer_tpu.render.composite import composite_image
 __all__ = ["render", "render_naive", "RenderConfig", "TILE", "tune_config"]
 
 
-def tune_config(cfg, n_instances: int, headroom: float = 1.5, floor: int = 8192):
-    """Right-size the static instance budget from a measured true instance
-    count (render output ``n_instances``). The per-instance sort/scan work is
-    LINEAR in the budget, and the default auto budget (16 * capacity) is sized
-    for worst-case fresh scenes — trained scenes with small splats run ~2x
-    faster at a measured budget. Buckets are powers of two so retunes rarely
-    recompile."""
-    want = max(floor, int(n_instances * headroom))
-    grain = 32768  # fine enough that the budget tracks the real count closely
-    bucket = ((want + grain - 1) // grain) * grain
-    return cfg.replace(max_instances=bucket)
+def tune_config(cfg, probe, headroom: float = 1.5, floor: int = 8192):
+    """Right-size the static instance budgets from a probe render's measured
+    counts. The per-instance sort/scan work is LINEAR in the budgets, and the
+    auto budgets are sized for worst-case fresh scenes — trained scenes with
+    small splats run ~2x faster at measured budgets. Budgets land on a 32k
+    grain so retunes rarely recompile.
+
+    ``probe``: the dict returned by ``render`` (uses ``n_instances`` and, for
+    the stream path, ``n_padded``); an int is accepted as a bare true-instance
+    count for backward compatibility."""
+    grain = 32768
+
+    def bucket(n):
+        want = max(floor, int(n * headroom))
+        return ((want + grain - 1) // grain) * grain
+
+    if isinstance(probe, dict):
+        n_true = int(probe["n_instances"])
+        n_padded = int(probe.get("n_padded", 0))
+    else:
+        n_true, n_padded = int(probe), 0
+    cfg = cfg.replace(max_instances=bucket(n_true))
+    if n_padded:
+        cfg = cfg.replace(max_stream=bucket(n_padded))
+    return cfg
 
 
 @struct.dataclass
@@ -59,10 +74,15 @@ class RenderConfig:
     max_tiles_per_gaussian: int = struct.field(pytree_node=False, default=128)
     # Global (gaussian, tile) instance budget; 0 = auto (16 * capacity).
     max_instances: int = struct.field(pytree_node=False, default=0)
+    # CHUNK-padded stream budget (stream compositor); 0 = auto estimate.
+    max_stream: int = struct.field(pytree_node=False, default=0)
     tile_block: int = struct.field(pytree_node=False, default=64)
     # Compositing backend: Pallas kernel (VMEM recurrence, custom VJP) or the
     # pure-XLA fallback (composite.py). Pallas interprets on CPU.
     use_pallas: bool = struct.field(pytree_node=False, default=True)
+    # Pallas variant: padded-CSR instance stream (stream.py — no [T, K] table,
+    # uncapped per-tile lists) vs the [T, K]-table kernel (pallas_composite.py).
+    use_stream: bool = struct.field(pytree_node=False, default=True)
 
 
 def render(
@@ -117,6 +137,44 @@ def render(
     # Opacity below 1/255 can never pass the alpha skip; excluding it here keeps
     # dead capacity slots out of the tile lists entirely.
     include = (proj.radii > 0) & (proj.opacities >= 1.0 / 255.0)
+
+    if cfg.use_pallas and cfg.use_stream:
+        from gaussian_transformer_tpu.render.tiles import bin_stream
+        from gaussian_transformer_tpu.render.stream import stream_image
+
+        binned = bin_stream(
+            means2d,
+            proj.depths,
+            proj.radii_bin,
+            include,
+            grid_w=grid_w,
+            grid_h=grid_h,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            max_instances=cfg.max_instances,
+            max_stream=cfg.max_stream,
+        )
+        order = binned.order
+        img_pad, t_pad = stream_image(
+            binned,
+            means2d[order],
+            proj.conics[order],
+            proj.rgbs[order],
+            proj.opacities[order],
+            bg,
+            grid_w=grid_w,
+            grid_h=grid_h,
+        )
+        image = img_pad[:, :H, :W]
+        return {
+            "render": image,
+            "viewspace_points": screenspace_offset,
+            "visibility_filter": proj.radii > 0,
+            "radii": proj.radii,
+            "final_T": t_pad[:H, :W],
+            "overflow": binned.overflow,
+            "n_instances": binned.n_instances,
+            "n_padded": binned.n_padded,
+        }
 
     binned = bin_gaussians(
         means2d,
@@ -248,7 +306,7 @@ def render_naive(
     live = (~done).astype(alpha.dtype)
 
     weight = alpha * T * live
-    image = jnp.einsum("chw,cx->xhw", weight, rgb)
+    image = jnp.einsum("chw,cx->xhw", weight, rgb, precision=jax.lax.Precision.HIGHEST)
     final_T = jnp.prod(1.0 - alpha * live, axis=0)
     image = image + final_T[None] * bg[:, None, None]
     return {"render": image, "radii": proj.radii, "final_T": final_T}

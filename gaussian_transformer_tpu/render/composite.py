@@ -80,7 +80,7 @@ def composite_tile_block(
     live = (~done).astype(alpha.dtype)
 
     weight = alpha * T * live  # [B, K, P]
-    colors = jnp.einsum("bkp,bkc->bcp", weight, g_rgb)
+    colors = jnp.einsum("bkp,bkc->bcp", weight, g_rgb, precision=jax.lax.Precision.HIGHEST)
     final_T = jnp.prod(1.0 - alpha * live, axis=1)  # [B, P]
     colors = colors + final_T[:, None, :] * bg[None, :, None]
     return colors, final_T

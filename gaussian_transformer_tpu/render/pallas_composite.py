@@ -152,7 +152,8 @@ def _fwd_one_tile(counts_ref, props_hw_ref, color_ref, t_ref, tb, grid_w, t_bloc
 
         w = alpha * t_in * live_k  # [CH, P]
         color = color + jax.lax.dot_general(
-            rgb, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            rgb, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [3, P]
         factor = 1.0 - alpha * live_k
         t_run = t_run * _row_product(factor)
@@ -234,7 +235,8 @@ def _bwd_one_tile(
 
         # d rgb: [CH, 3] = w @ gC^T.
         d_rgb = jax.lax.dot_general(
-            w, g_color, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            w, g_color, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         # Per-channel inclusive prefix of w*rgb_c, to get the suffix S_k.

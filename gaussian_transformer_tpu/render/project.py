@@ -38,6 +38,11 @@ class Projected(NamedTuple):
     radii: jnp.ndarray  # [C] int32 screen-space radius, 0 = culled
     rgbs: jnp.ndarray  # [C, 3] view-dependent color
     opacities: jnp.ndarray  # [C] activated opacity
+    # Effective binning radius <= radii: beyond it alpha < 1/255 everywhere, so
+    # tiles outside contribute nothing (every pixel hits the upstream skip
+    # rule). Binning with it sheds instances exactly; ``radii`` keeps the
+    # reference's 3-sigma contract for visibility/densification stats.
+    radii_bin: jnp.ndarray  # [C] int32
 
 
 def ndc_to_pixel(ndc, size):
@@ -157,10 +162,19 @@ def project_gaussians(
     # Screen-space radius from the larger eigenvalue (3 sigma).
     mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    sqrt_l1 = jnp.sqrt(jnp.maximum(lambda1, 0.0))
+    radius_f = jnp.ceil(3.0 * sqrt_l1)
 
     visible = in_front & valid_det
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    # Effective radius where alpha can still reach 1/255: alpha <= opac *
+    # exp(-0.5 d^2 / lambda1), so d >= sqrt(2 ln(255 opac) lambda1) implies
+    # alpha < 1/255 (the skip rule) — +1 px guards the boundary. Low-opacity
+    # splats shed most of their 3-sigma tile coverage with zero image change.
+    ln_term = jnp.log(jnp.maximum(255.0 * opacities, 1.0))
+    r_eff = jnp.ceil(jnp.sqrt(2.0 * ln_term) * sqrt_l1) + 1.0
+    radii_bin = jnp.minimum(radii, jnp.where(visible, r_eff, 0.0).astype(jnp.int32))
 
     # Color: precomputed override or SH evaluated along the view direction.
     if colors_precomp is not None:
@@ -181,4 +195,5 @@ def project_gaussians(
         radii=radii,
         rgbs=rgbs,
         opacities=opac,
+        radii_bin=radii_bin,
     )

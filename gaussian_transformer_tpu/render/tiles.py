@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 TILE = 16  # pixels per tile side
+CHUNK = 32  # instance rows per compositor chunk (stream layout granularity)
 
 
 def num_tiles(size: int) -> int:
@@ -100,9 +101,75 @@ def bin_gaussians(
     """
     C = means2d.shape[0]
     T = grid_w * grid_h
-    R = max_tiles_per_gaussian
     K = max_per_tile
     I = max_instances if max_instances > 0 else max(8192, 16 * C)
+
+    (order, sorted_tiles, sorted_payload, counts, starts_ext, inst_rank,
+     cap_overflow, total_raw) = _expand_instances(
+        means2d, depths, radii, include, grid_w, grid_h, max_tiles_per_gaussian, I
+    )
+
+    # Per-tile lists: each row is the CONTIGUOUS run sorted_payload[start:start+K]
+    # — vmapped dynamic_slice lowers to an efficient K-wide row gather (element
+    # gathers through a [T, K] index matrix are several times slower on TPU).
+    starts = starts_ext[:T]
+    payload_pad = jnp.concatenate([sorted_payload, jnp.full((K,), C, jnp.int32)])
+    runs = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(payload_pad, (jnp.minimum(s0, I),), (K,))
+    )(starts)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+    counts_capped = jnp.minimum(counts, K)
+    tile_lists = jnp.where(k_iota < counts_capped[:, None], runs, C)
+
+    overflow = cap_overflow + jnp.sum(jnp.maximum(counts - K, 0))  # per-tile K cap
+    return Binned(
+        order=order,
+        tile_lists=tile_lists,
+        tile_counts=counts_capped,
+        overflow=overflow,
+        inst_tile=sorted_tiles,
+        inst_rank=inst_rank,
+        inst_gauss=sorted_payload,
+        n_instances=total_raw,
+    )
+
+
+def _expand_instances(means2d, depths, radii, include, grid_w, grid_h, R, I):
+    """Shared binning core: depth sort + instance expansion + stable tile sort.
+
+    Returns (order [C], sorted_tiles [I], sorted_gauss [I], counts [T],
+    starts_ext [T+1], inst_rank [I], cap_overflow [], total_raw []). Instance
+    arrays index into the DEPTH-SORTED per-Gaussian arrays; tile id T and
+    gaussian id C are the invalid/padding sentinels.
+    """
+    C = means2d.shape[0]
+    T = grid_w * grid_h
+    order, tile_id, gauss_i, cap_overflow, total_raw = _expand_unsorted(
+        means2d, depths, radii, include, grid_w, grid_h, R, I
+    )
+
+    # Stable sort by tile id: per-tile runs inherit global front-to-back order.
+    sorted_tiles, sorted_payload = jax.lax.sort_key_val(tile_id, gauss_i, is_stable=True)
+
+    # Per-tile run boundaries via histogram + exclusive cumsum (cheaper on TPU
+    # than searchsorted over the sorted keys).
+    counts = jnp.zeros((T + 1,), jnp.int32).at[tile_id].add(1, mode="drop")[:T]
+    starts_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])  # [T+1]
+    inst_rank = jnp.arange(I, dtype=jnp.int32) - starts_ext[jnp.minimum(sorted_tiles, T)]
+
+    return (
+        order, sorted_tiles, sorted_payload, counts, starts_ext, inst_rank,
+        cap_overflow, total_raw,
+    )
+
+
+def _expand_unsorted(means2d, depths, radii, include, grid_w, grid_h, R, I):
+    """Depth sort + instance expansion WITHOUT the tile sort: returns
+    (order [C], tile_id [I], gauss_i [I], cap_overflow [], total_raw []) with
+    instances laid out gaussian-major in depth order (tile T / gaussian C are
+    the invalid sentinels)."""
+    C = means2d.shape[0]
+    T = grid_w * grid_h
 
     sort_key = jnp.where(include, depths, jnp.inf)
     order = jnp.argsort(sort_key).astype(jnp.int32)
@@ -142,39 +209,128 @@ def bin_gaussians(
     ty = vals[:, 1] + r_i // vals[:, 2]
     tile_id = jnp.where(inst_valid, ty * grid_w + tx, T).astype(jnp.int32)
 
-    # Stable sort by tile id: per-tile runs inherit global front-to-back order.
-    sorted_tiles, sorted_payload = jax.lax.sort_key_val(tile_id, gauss_i, is_stable=True)
-
-    # Per-tile run boundaries via histogram + exclusive cumsum (cheaper on TPU
-    # than searchsorted over the sorted keys).
-    counts = jnp.zeros((T + 1,), jnp.int32).at[tile_id].add(1, mode="drop")[:T]
-    starts_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])  # [T+1]
-
-    # Per-tile lists: each row is the CONTIGUOUS run sorted_payload[start:start+K]
-    # — vmapped dynamic_slice lowers to an efficient K-wide row gather (element
-    # gathers through a [T, K] index matrix are several times slower on TPU).
-    starts = starts_ext[:T]
-    payload_pad = jnp.concatenate([sorted_payload, jnp.full((K,), C, jnp.int32)])
-    runs = jax.vmap(
-        lambda s0: jax.lax.dynamic_slice(payload_pad, (jnp.minimum(s0, I),), (K,))
-    )(starts)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
-    counts_capped = jnp.minimum(counts, K)
-    tile_lists = jnp.where(k_iota < counts_capped[:, None], runs, C)
-    inst_rank = jnp.arange(I, dtype=jnp.int32) - starts_ext[jnp.minimum(sorted_tiles, T)]
-
-    overflow = (
-        jnp.sum(jnp.maximum(counts - K, 0))  # per-tile K cap
-        + jnp.sum(cov_raw - cov)  # per-gaussian coverage cap
+    cap_overflow = (
+        jnp.sum(cov_raw - cov)  # per-gaussian coverage cap
         + jnp.maximum(total - I, 0)  # global instance budget
     )
-    return Binned(
+    return order, tile_id, gauss_i, cap_overflow, jnp.sum(cov_raw)
+
+
+class StreamBinned(NamedTuple):
+    """Padded-CSR instance stream for the stream compositor (stream.py).
+
+    Each tile's depth-ordered instance run is padded to a multiple of CHUNK so
+    every CHUNK-row block belongs to exactly one tile; padding/invalid rows use
+    the gaussian sentinel C (whose property row is all zeros -> alpha 0).
+    """
+
+    order: jnp.ndarray  # [C] int32 — gaussian index by ascending depth
+    stream_gauss: jnp.ndarray  # [I_pad] int32 — depth-sorted gaussian idx, C = pad
+    chunk_tile: jnp.ndarray  # [I_pad // CHUNK] int32 — tile id per chunk, T = trash
+    tile_counts: jnp.ndarray  # [T] int32 — TRUE (uncapped) instances per tile
+    covered: jnp.ndarray  # [T] bool — tile has >= 1 chunk inside the budget
+    overflow: jnp.ndarray  # [] int32 — instances dropped by any static cap
+    n_instances: jnp.ndarray  # [] int32 — true (unpadded, uncapped) instance total
+    n_padded: jnp.ndarray  # [] int32 — padded stream length actually needed
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_w", "grid_h", "max_tiles_per_gaussian", "max_instances", "max_stream"),
+)
+def bin_stream(
+    means2d: jnp.ndarray,
+    depths: jnp.ndarray,
+    radii: jnp.ndarray,
+    include: jnp.ndarray,
+    *,
+    grid_w: int,
+    grid_h: int,
+    max_tiles_per_gaussian: int = 128,
+    max_instances: int = 0,
+    max_stream: int = 0,
+) -> StreamBinned:
+    """Bin into the padded-CSR stream layout (no per-tile K cap, no [T, K]
+    table): tile runs live contiguously in one [I_pad] stream at CHUNK-aligned
+    starts.
+
+    The layout is built entirely from SCANS over the tile-sorted instances —
+    run boundaries by neighbor compare, ranks/starts by cummax/cumsum segment
+    broadcasting — plus ONE unique-index scatter into the stream. No [T]-sized
+    histogram scatter-add, no gathers through [T] tables: TPU scatters with
+    colliding indices were the dominant binning cost.
+
+    Budgets: ``max_instances`` bounds the expansion/sort domain (true
+    instances, 0 = 16*C); ``max_stream`` bounds the CHUNK-padded stream
+    (0 = max_instances + CHUNK * tiles/2 estimate). Instances beyond either
+    are dropped and counted in ``overflow``.
+    """
+    C = means2d.shape[0]
+    T = grid_w * grid_h
+    I = max_instances if max_instances > 0 else max(8192, 16 * C)
+    I_pad = max_stream if max_stream > 0 else I + (T // 2 + 256) * CHUNK
+    I_pad = ((I_pad + CHUNK - 1) // CHUNK) * CHUNK
+    G = I_pad // CHUNK
+
+    order, tile_id, gauss_i, cap_overflow, total_raw = _expand_unsorted(
+        means2d, depths, radii, include, grid_w, grid_h, max_tiles_per_gaussian, I
+    )
+    sorted_tiles, sorted_gauss = jax.lax.sort_key_val(tile_id, gauss_i, is_stable=True)
+
+    i_iota = jnp.arange(I, dtype=jnp.int32)
+    valid = sorted_tiles < T
+    boundary = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_tiles[1:] != sorted_tiles[:-1]]
+    )
+    # Rank within the run: distance to the run's first element (segment
+    # broadcast of the boundary position via cummax — positions ascend).
+    run_start = jax.lax.cummax(jnp.where(boundary, i_iota, -1))
+    rank = i_iota - run_start
+    # Run length at each element: next boundary position (reverse cummin of
+    # boundary positions, exclusive) minus the run start.
+    next_b = jax.lax.cummin(jnp.where(boundary, i_iota, I)[::-1])[::-1]
+    next_b = jnp.concatenate([next_b[1:], jnp.full(1, I, jnp.int32)])
+    run_len = next_b - run_start
+    padded_len = jnp.where(valid, ((run_len + CHUNK - 1) // CHUNK) * CHUNK, 0)
+    # Exclusive cumsum of padded lengths over RUNS, broadcast to elements.
+    incr = jnp.where(boundary, padded_len, 0)
+    pstart_excl = jnp.cumsum(incr) - incr
+    seg_pstart = jax.lax.cummax(jnp.where(boundary, pstart_excl, -1))
+    n_padded = jnp.sum(incr)
+
+    # Unique positions: real instances at their padded slot, everything else
+    # at distinct out-of-bounds slots (dropped by the scatter).
+    in_budget = valid & (seg_pstart + rank < I_pad)
+    pos = jnp.where(in_budget, seg_pstart + rank, I_pad + i_iota)
+    stream_gauss = (
+        jnp.full((I_pad,), C, jnp.int32)
+        .at[pos]
+        .set(sorted_gauss, mode="drop", unique_indices=True)
+    )
+
+    # Chunk -> tile map from the (small) chunk domain: scatter each run's tile
+    # at its first chunk, forward-fill by cummax (runs are in ascending tile
+    # order), terminate after the last run with the trash tile T.
+    first_chunk = jnp.where(boundary & valid & (pstart_excl < I_pad), pstart_excl // CHUNK, G)
+    seeds = jnp.full((G + 1,), -1, jnp.int32).at[first_chunk].max(sorted_tiles, mode="drop")
+    seeds = seeds.at[jnp.minimum(n_padded // CHUNK, G)].max(T)
+    chunk_tile = jnp.where(jax.lax.cummax(seeds[:G]) < 0, T, jax.lax.cummax(seeds[:G]))
+
+    # Per-tile diagnostics from the chunk domain (G-sized scatters are cheap).
+    real_per_chunk = jnp.sum((stream_gauss < C).reshape(G, CHUNK), axis=1)
+    counts = (
+        jnp.zeros((T + 1,), jnp.int32).at[chunk_tile].add(real_per_chunk, mode="drop")[:T]
+    )
+    covered = jnp.zeros((T + 1,), bool).at[chunk_tile].set(True, mode="drop")[:T]
+
+    overflow = cap_overflow + jnp.sum((valid & ~in_budget).astype(jnp.int32))
+    return StreamBinned(
         order=order,
-        tile_lists=tile_lists,
-        tile_counts=jnp.minimum(counts, K),
+        stream_gauss=stream_gauss,
+        chunk_tile=chunk_tile,
+        tile_counts=counts,
+        covered=covered,
         overflow=overflow,
-        inst_tile=sorted_tiles,
-        inst_rank=inst_rank,
-        inst_gauss=sorted_payload,
-        n_instances=jnp.sum(cov_raw),
+        n_instances=total_raw,
+        n_padded=n_padded,
     )

@@ -11,8 +11,11 @@ from gaussian_transformer_tpu.render import RenderConfig, render, render_naive
 from tests.test_render import make_camera, make_scene
 
 
+# use_stream=False: this file tests the [T, K]-table kernel, which shares the
+# XLA fallback's per-tile K cap. The stream kernel (uncapped) is covered by
+# test_stream.py.
 XLA_CFG = RenderConfig(max_per_tile=64, use_pallas=False)
-PL_CFG = RenderConfig(max_per_tile=64, use_pallas=True)
+PL_CFG = RenderConfig(max_per_tile=64, use_pallas=True, use_stream=False)
 
 
 class TestPallasForward:
@@ -35,7 +38,7 @@ class TestPallasForward:
         scene = make_scene(128, seed=2)
         bg = jnp.zeros(3)
         a = render_naive(cam, scene, bg_color=bg)
-        b = render(cam, scene, RenderConfig(max_per_tile=160, use_pallas=True), bg_color=bg)
+        b = render(cam, scene, RenderConfig(max_per_tile=160, use_pallas=True, use_stream=False), bg_color=bg)
         np.testing.assert_allclose(
             np.asarray(b["render"]), np.asarray(a["render"]), atol=2e-5
         )
@@ -51,7 +54,7 @@ class TestPallasForward:
             opacity=jnp.full_like(scene.opacity, inverse_sigmoid(jnp.asarray(0.97)))
         )
         a = render(cam, scene, RenderConfig(max_per_tile=96, use_pallas=False), bg_color=jnp.ones(3))
-        b = render(cam, scene, RenderConfig(max_per_tile=96, use_pallas=True), bg_color=jnp.ones(3))
+        b = render(cam, scene, RenderConfig(max_per_tile=96, use_pallas=True, use_stream=False), bg_color=jnp.ones(3))
         np.testing.assert_allclose(np.asarray(b["render"]), np.asarray(a["render"]), atol=2e-5)
         assert float(np.asarray(b["final_T"]).min()) < 1e-3
 
@@ -79,7 +82,7 @@ class TestPallasGradients:
         scene = make_scene(96, seed=seed)
         bg = jnp.array([0.2, 0.1, 0.4])
         ga = self._grads(RenderConfig(max_per_tile=96, use_pallas=False), scene, cam, bg)
-        gb = self._grads(RenderConfig(max_per_tile=96, use_pallas=True), scene, cam, bg)
+        gb = self._grads(RenderConfig(max_per_tile=96, use_pallas=True, use_stream=False), scene, cam, bg)
         names = ["xyz", "opacity", "scaling", "features_dc", "offset"]
         for name, a, b in zip(names, ga, gb):
             a, b = np.asarray(a), np.asarray(b)
@@ -97,7 +100,7 @@ class TestPallasGradients:
         )
         bg = jnp.zeros(3)
         ga = self._grads(RenderConfig(max_per_tile=64, use_pallas=False), scene, cam, bg)
-        gb = self._grads(RenderConfig(max_per_tile=64, use_pallas=True), scene, cam, bg)
+        gb = self._grads(RenderConfig(max_per_tile=64, use_pallas=True, use_stream=False), scene, cam, bg)
         for a, b in zip(ga, gb):
             a, b = np.asarray(a), np.asarray(b)
             scale = np.abs(a).max() + 1e-8

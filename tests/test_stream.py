@@ -1,0 +1,182 @@
+"""Stream compositor (render/stream.py + tiles.bin_stream) correctness:
+forward/gradient equivalence with the XLA composite and the naive golden,
+layout invariants of the padded-CSR stream, saturation and budget-overflow
+behavior. Runs in interpret mode on the CPU test mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussian_transformer_tpu.render import RenderConfig, render, render_naive
+from gaussian_transformer_tpu.render.tiles import CHUNK, bin_stream, num_tiles
+
+from tests.test_render import make_camera, make_scene
+
+
+# The stream path has no per-tile cap; give the XLA reference a K large enough
+# that it never truncates either.
+XLA_CFG = RenderConfig(max_per_tile=512, use_pallas=False)
+ST_CFG = RenderConfig(use_pallas=True, use_stream=True)
+
+
+class TestStreamForward:
+    @pytest.mark.parametrize("seed,n", [(0, 64), (1, 256)])
+    def test_matches_xla_composite(self, seed, n):
+        cam = make_camera(width=80, height=48)
+        scene = make_scene(n, seed=seed, capacity=n + 5)
+        bg = jnp.array([0.15, 0.25, 0.35])
+        a = render(cam, scene, XLA_CFG, bg_color=bg)
+        b = render(cam, scene, ST_CFG, bg_color=bg)
+        assert int(np.asarray(b["overflow"])) == 0
+        np.testing.assert_allclose(np.asarray(b["render"]), np.asarray(a["render"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(b["final_T"]), np.asarray(a["final_T"]), atol=2e-5)
+
+    def test_matches_naive_golden(self):
+        cam = make_camera(width=64, height=32)
+        scene = make_scene(128, seed=2)
+        a = render_naive(cam, scene, bg_color=jnp.zeros(3))
+        b = render(cam, scene, ST_CFG, bg_color=jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(b["render"]), np.asarray(a["render"]), atol=2e-5)
+
+    def test_saturation_early_exit(self):
+        from gaussian_transformer_tpu.utils.general import inverse_sigmoid
+
+        cam = make_camera(width=32, height=32)
+        scene = make_scene(96, seed=3, spread=0.2)
+        scene = scene.replace(
+            opacity=jnp.full_like(scene.opacity, inverse_sigmoid(jnp.asarray(0.97)))
+        )
+        a = render(cam, scene, XLA_CFG, bg_color=jnp.ones(3))
+        b = render(cam, scene, ST_CFG, bg_color=jnp.ones(3))
+        np.testing.assert_allclose(np.asarray(b["render"]), np.asarray(a["render"]), atol=2e-5)
+        assert float(np.asarray(b["final_T"]).min()) < 1e-3
+
+    def test_empty_scene_is_background(self):
+        from gaussian_transformer_tpu.scene.gaussians import GaussianScene
+
+        cam = make_camera(width=64, height=48)
+        scene = GaussianScene.empty(8, 1)  # all dead -> zero covered tiles
+        bg = jnp.array([0.2, 0.4, 0.6])
+        out = render(cam, scene, ST_CFG, bg_color=bg)
+        img = np.asarray(out["render"])
+        np.testing.assert_allclose(img, np.broadcast_to(bg[:, None, None], img.shape), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["final_T"]), 1.0)
+
+    def test_budget_overflow_reported_and_finite(self):
+        """A starved instance budget must report overflow and still produce a
+        finite image (dropped tiles fall back to background)."""
+        cam = make_camera(width=80, height=48)
+        scene = make_scene(256, seed=1, capacity=261)
+        tiny = RenderConfig(use_pallas=True, use_stream=True, max_instances=CHUNK * 4)
+        out = render(cam, scene, tiny, bg_color=jnp.zeros(3))
+        assert int(np.asarray(out["overflow"])) > 0
+        assert np.all(np.isfinite(np.asarray(out["render"])))
+
+
+class TestStreamLayout:
+    def _binned(self, n=96, width=80, height=48, seed=0, budget=0):
+        import math
+        from gaussian_transformer_tpu.render.project import project_gaussians
+
+        cam = make_camera(width=width, height=height)
+        scene = make_scene(n, seed=seed)
+        proj = project_gaussians(
+            scene.get_xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity[:, 0], scene.get_features, None,
+            world_view_transform=cam.world_view_transform,
+            full_proj_transform=cam.full_proj_transform,
+            camera_center=cam.camera_center,
+            image_width=width, image_height=height,
+            tan_fovx=math.tan(cam.fovx * 0.5), tan_fovy=math.tan(cam.fovy * 0.5),
+            active_sh_degree=scene.active_sh_degree,
+        )
+        include = (proj.radii > 0) & (proj.opacities >= 1.0 / 255.0)
+        gw, gh = num_tiles(width), num_tiles(height)
+        return bin_stream(
+            proj.means2d, proj.depths, proj.radii, include,
+            grid_w=gw, grid_h=gh, max_instances=budget,
+        ), proj, gw, gh
+
+    def test_chunks_are_tile_pure_and_sorted(self):
+        b, proj, gw, gh = self._binned()
+        T = gw * gh
+        gauss = np.asarray(b.stream_gauss)
+        ct = np.asarray(b.chunk_tile)
+        C = proj.means2d.shape[0]
+        # Real chunks ascend, trash chunks (T) trail.
+        real = ct[ct < T]
+        assert np.all(np.diff(real) >= 0)
+        first_trash = len(real)
+        assert np.all(ct[first_trash:] == T)
+        # Every real row's tile equals its chunk's tile (tile-pure chunks).
+        counts = np.asarray(b.tile_counts)
+        pstart = np.concatenate([[0], np.cumsum(((counts + CHUNK - 1) // CHUNK) * CHUNK)])
+        for t in range(T):
+            run = gauss[pstart[t] : pstart[t] + counts[t]]
+            assert np.all(run < C), f"tile {t}: padding inside the run"
+            pad = gauss[pstart[t] + counts[t] : pstart[t + 1]]
+            assert np.all(pad == C), f"tile {t}: real rows in the padding"
+
+    def test_depth_order_within_tile(self):
+        b, proj, gw, gh = self._binned(n=128, seed=2)
+        T = gw * gh
+        depths_sorted = np.asarray(proj.depths)[np.asarray(b.order)]
+        gauss = np.asarray(b.stream_gauss)
+        counts = np.asarray(b.tile_counts)
+        pstart = np.concatenate([[0], np.cumsum(((counts + CHUNK - 1) // CHUNK) * CHUNK)])
+        for t in range(T):
+            run = gauss[pstart[t] : pstart[t] + counts[t]]
+            d = depths_sorted[run]
+            assert np.all(np.diff(d) >= -1e-6), f"tile {t} not front-to-back"
+
+    def test_n_padded_accounting(self):
+        b, _, _, _ = self._binned(n=64, seed=5)
+        counts = np.asarray(b.tile_counts)
+        expect = int((((counts + CHUNK - 1) // CHUNK) * CHUNK).sum())
+        assert int(np.asarray(b.n_padded)) == expect
+        assert int(np.asarray(b.n_instances)) == int(counts.sum()) + int(np.asarray(b.overflow))
+
+
+class TestStreamGradients:
+    def _grads(self, cfg, scene, cam, bg):
+        def loss_fn(xyz, opacity, scaling, fdc, offset):
+            s = scene.replace(xyz=xyz, opacity=opacity, scaling=scaling, features_dc=fdc)
+            out = render(cam, s, cfg, bg_color=bg, screenspace_offset=offset)
+            return jnp.sum(out["render"] ** 2) + 0.1 * jnp.sum(out["final_T"])
+
+        args = (
+            scene.xyz, scene.opacity, scene.scaling, scene.features_dc,
+            jnp.zeros((scene.capacity, 2)),
+        )
+        return jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(*args)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_grads_match_xla_ad(self, seed):
+        cam = make_camera(width=48, height=32)
+        scene = make_scene(96, seed=seed)
+        bg = jnp.array([0.2, 0.1, 0.4])
+        ga = self._grads(XLA_CFG, scene, cam, bg)
+        gb = self._grads(ST_CFG, scene, cam, bg)
+        names = ["xyz", "opacity", "scaling", "features_dc", "offset"]
+        for name, a, b in zip(names, ga, gb):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.all(np.isfinite(b)), name
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b, a, atol=2e-4 * scale, err_msg=name)
+
+    def test_grads_under_saturation(self):
+        from gaussian_transformer_tpu.utils.general import inverse_sigmoid
+
+        cam = make_camera(width=32, height=32)
+        scene = make_scene(64, seed=4, spread=0.2)
+        scene = scene.replace(
+            opacity=jnp.full_like(scene.opacity, inverse_sigmoid(jnp.asarray(0.95)))
+        )
+        bg = jnp.zeros(3)
+        ga = self._grads(XLA_CFG, scene, cam, bg)
+        gb = self._grads(ST_CFG, scene, cam, bg)
+        for a, b in zip(ga, gb):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b, a, atol=5e-4 * scale)
