@@ -92,9 +92,9 @@ class MultiHeadedAttention(nn.Module):
     """h-head scaled dot-product attention (model/attention.py).
 
     ``block_k > 0`` switches to the O(L)-memory blockwise kernel
-    (ops/attention.py) for long Gaussian sequences — forward-exact, but
-    attention-weight dropout is only applied on the dense path (the weights
-    matrix never materializes blockwise)."""
+    (ops/attention.py) for long Gaussian sequences — forward-exact, including
+    the reference's dropout-on-attention-weights (numerator-masked online
+    softmax; the weights matrix never materializes)."""
 
     h: int
     d_model: int
@@ -122,7 +122,14 @@ class MultiHeadedAttention(nn.Module):
         if self.block_k > 0:
             from gaussian_transformer_tpu.ops.attention import blockwise_attention
 
-            x = blockwise_attention(q, k, v, mask=mask, block_k=self.block_k)
+            drop_rng = None
+            if not deterministic and self.dropout > 0.0:
+                drop_rng = self.make_rng("dropout")
+            x = blockwise_attention(
+                q, k, v, mask=mask, block_k=self.block_k,
+                dropout_rate=0.0 if deterministic else self.dropout,
+                dropout_rng=drop_rng,
+            )
         else:
             # Scores/softmax in float32 for stability regardless of dtype.
             scores = jnp.einsum(
@@ -153,10 +160,11 @@ class EncoderLayer(nn.Module):
     h: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    block_k: int = 0
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
-        attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, dtype=self.dtype, name="self_attn")
+        attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, block_k=self.block_k, dtype=self.dtype, name="self_attn")
         ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, name="feed_forward")
         x = SublayerConnection(self.dropout, name="sub0")(
             x, lambda y: attn(y, y, y, mask, deterministic), deterministic
@@ -171,11 +179,12 @@ class DecoderLayer(nn.Module):
     h: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    block_k: int = 0
 
     @nn.compact
     def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
-        self_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, dtype=self.dtype, name="self_attn")
-        src_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, dtype=self.dtype, name="src_attn")
+        self_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, block_k=self.block_k, dtype=self.dtype, name="self_attn")
+        src_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, block_k=self.block_k, dtype=self.dtype, name="src_attn")
         ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, name="feed_forward")
         x = SublayerConnection(self.dropout, name="sub0")(
             x, lambda y: self_attn(y, y, y, tgt_mask, deterministic), deterministic
@@ -194,11 +203,12 @@ class Encoder(nn.Module):
     N: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    block_k: int = 0
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         for i in range(self.N):
-            x = EncoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, name=f"layer{i}")(
+            x = EncoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, block_k=self.block_k, name=f"layer{i}")(
                 x, mask, deterministic
             )
         return TorchLayerNorm(name="norm")(x)
@@ -210,11 +220,12 @@ class Decoder(nn.Module):
     N: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    block_k: int = 0
 
     @nn.compact
     def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
         for i in range(self.N):
-            x = DecoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, name=f"layer{i}")(
+            x = DecoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, block_k=self.block_k, name=f"layer{i}")(
                 x, memory, src_mask, tgt_mask, deterministic
             )
         return TorchLayerNorm(name="norm")(x)
@@ -231,10 +242,13 @@ class EncoderDecoder(nn.Module):
     h: int = 8
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    # > 0: blockwise (flash-style) attention with this key-block size — the
+    # long-sequence lever; 0: dense reference attention.
+    block_k: int = 0
 
     def setup(self):
-        self.encoder = Encoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype)
-        self.decoder = Decoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype)
+        self.encoder = Encoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype, block_k=self.block_k)
+        self.decoder = Decoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype, block_k=self.block_k)
         self.src_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype)
         self.tgt_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype)
         # Generator output stays float32 (regression head).
@@ -266,6 +280,7 @@ def make_model(
     h: int = 8,
     dropout: float = 0.1,
     dtype: Any = jnp.float32,
+    block_k: int = 0,
 ) -> EncoderDecoder:
     """Construct the model (model/model.py:46-65; ``stacking`` is part of the
     reference signature but unused in construction there too). ``dtype=bf16``
@@ -274,7 +289,7 @@ def make_model(
     del stacking
     return EncoderDecoder(
         src_g_len=src_g_len, tgt_g_len=tgt_g_len, N=N, d_model=d_model, h=h,
-        dropout=dropout, dtype=dtype,
+        dropout=dropout, dtype=dtype, block_k=block_k,
     )
 
 

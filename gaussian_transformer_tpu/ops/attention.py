@@ -28,12 +28,15 @@ import jax.numpy as jnp
 MASK_FILL = -1e4  # reference model/attention.py:47
 
 
-def _block_update(carry, qkT, v_blk, mask_blk):
+def _block_update(carry, qkT, v_blk, mask_blk, drop_keep=None, dropout_rate=0.0):
     """Online-softmax accumulation for one key block.
 
     carry: (m [.., Lq, 1] running max, l [.., Lq, 1] running denom,
             acc [.., Lq, D] running numerator)
     qkT:   [.., Lq, Bk] scaled scores for this block.
+    drop_keep: optional bool [.., Lq, Bk] — post-softmax dropout keep mask
+      (applied to the NUMERATOR only, scaled by 1/(1-rate); the denominator
+      stays full, matching torch's dropout(softmax(s)) @ v).
     """
     m, l, acc = carry
     if mask_blk is not None:
@@ -42,8 +45,11 @@ def _block_update(carry, qkT, v_blk, mask_blk):
     p = jnp.exp(qkT - m_new)
     scale = jnp.exp(m - m_new)
     l_new = l * scale + jnp.sum(p, axis=-1, keepdims=True)
+    p_num = p
+    if drop_keep is not None:
+        p_num = p * drop_keep.astype(p.dtype) / (1.0 - dropout_rate)
     acc_new = acc * scale + jnp.einsum(
-        "...qk,...kd->...qd", p, v_blk, preferred_element_type=acc.dtype
+        "...qk,...kd->...qd", p_num, v_blk, preferred_element_type=acc.dtype
     )
     return m_new, l_new, acc_new
 
@@ -54,8 +60,18 @@ def blockwise_attention(
     v: jnp.ndarray,  # [..., Lk, D]
     mask: Optional[jnp.ndarray] = None,  # broadcastable to [..., Lq, Lk], True = attend
     block_k: int = 512,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ):
-    """Exact attention with O(Lq * block_k) score memory."""
+    """Exact attention with O(Lq * block_k) score memory.
+
+    ``dropout_rate`` reproduces the reference's dropout-on-attention-weights
+    (torch applies it AFTER softmax, model/attention.py:48-50) without ever
+    materializing the [Lq, Lk] weight matrix: the softmax DENOMINATOR
+    accumulates unmasked, while each block's numerator contribution is
+    Bernoulli-masked (keys dropped per query) and scaled by 1/(1-rate) —
+    algebraically identical to dropout(softmax(scores)) @ V. Per-block mask
+    streams from ``dropout_rng`` folded with the block index."""
     *lead, Lq, D = q.shape
     Lk = k.shape[-2]
     scale = 1.0 / jnp.sqrt(jnp.asarray(D, q.dtype))
@@ -94,17 +110,23 @@ def blockwise_attention(
     l0 = jnp.zeros((*lead, Lq, 1), q.dtype)
     acc0 = jnp.zeros((*lead, Lq, D), q.dtype)
 
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+
     @jax.checkpoint
     def body(carry, xs):
         if mask_b is None:
-            k_blk, v_blk = xs
-            mb = None
+            (k_blk, v_blk, blk_idx), mb = xs, None
         else:
-            k_blk, v_blk, mb = xs
+            k_blk, v_blk, mb, blk_idx = xs
         qkT = jnp.einsum("...qd,...kd->...qk", q, k_blk, preferred_element_type=q.dtype) * scale
-        return _block_update(carry, qkT, v_blk, mb), None
+        drop = None
+        if use_dropout:
+            rng = jax.random.fold_in(dropout_rng, blk_idx)
+            drop = jax.random.bernoulli(rng, 1.0 - dropout_rate, (*lead, Lq, block_k))
+        return _block_update(carry, qkT, v_blk, mb, drop, dropout_rate), None
 
-    xs = (k_s, v_s) if mask_b is None else (k_s, v_s, mask_b)
+    blk_iota = jnp.arange(n_blocks, dtype=jnp.int32)
+    xs = (k_s, v_s, blk_iota) if mask_b is None else (k_s, v_s, mask_b, blk_iota)
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), xs)
     return acc / jnp.maximum(l, 1e-30)
 

@@ -56,11 +56,12 @@ class EmbeddedEncoderDecoder(nn.Module):
     d_model: int = 1024
     h: int = 8
     dropout: float = 0.1
+    block_k: int = 0  # > 0: blockwise attention for long visible-set sequences
 
     def setup(self):
         self.embed_in_src = nn.Dense(self.d_model)
         self.embed_in_tgt = nn.Dense(self.d_model)
-        self.core = make_model(0, self.d_model, self.d_model, self.N, self.d_model, self.h, self.dropout)
+        self.core = make_model(0, self.d_model, self.d_model, self.N, self.d_model, self.h, self.dropout, block_k=self.block_k)
         self.out_proj = nn.Dense(TOKEN_DIM)
 
     def encode(self, src, src_mask, deterministic=True):
@@ -181,8 +182,15 @@ def make_flat_loss(model: EmbeddedEncoderDecoder, render_cfg: RenderConfig, use_
     if use_lpips is None:
         use_lpips = lpips_mod.available("alex")
 
-    def loss_fn(params, batch_src, batch_trg, batch_trg_y, src_mask, trg_mask, cam):
-        out = model.apply(params, batch_src, batch_trg, src_mask, trg_mask, True)
+    def loss_fn(params, batch_src, batch_trg, batch_trg_y, src_mask, trg_mask, cam,
+                dropout_rng=None):
+        # Reference trains under model.train() (train_transformer.py:326) —
+        # dropout active; pass a key to match, None for eval-style steps.
+        if dropout_rng is not None:
+            out = model.apply(params, batch_src, batch_trg, src_mask, trg_mask, False,
+                              rngs={"dropout": dropout_rng})
+        else:
+            out = model.apply(params, batch_src, batch_trg, src_mask, trg_mask, True)
         x = model.apply(params, out, method=EmbeddedEncoderDecoder.generator)[0]  # [Lt, 26]
 
         prompt = batch_src[0]

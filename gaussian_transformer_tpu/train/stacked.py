@@ -208,11 +208,21 @@ class TrainingScene:
         )
 
 
-def greedy_decode(model: EncoderDecoder, variables, src, src_mask, max_len: int, stack: int = STACK):
+def greedy_decode(model: EncoderDecoder, variables, src, src_mask, max_len: int, stack: int = STACK,
+                  dropout_rng=None):
     """Autoregressive decode into a fixed [1, max_len, D] buffer
-    (train_stacked_transformer.py:259-269). Differentiable through the scan."""
+    (train_stacked_transformer.py:259-269). Differentiable through the scan.
+
+    ``dropout_rng`` enables train-mode dropout (the reference decodes under
+    ``model.train()``, so every forward resamples masks — we fold the step
+    index into the key to match that resampling)."""
     D = src.shape[-1]
-    memory = model.apply(variables, src, src_mask, method=EncoderDecoder.encode)
+    if dropout_rng is not None:
+        enc_rng, dec_rng = jax.random.split(dropout_rng)
+        memory = model.apply(variables, src, src_mask, False,
+                             method=EncoderDecoder.encode, rngs={"dropout": enc_rng})
+    else:
+        memory = model.apply(variables, src, src_mask, method=EncoderDecoder.encode)
     # Unwritten tail rows are causally masked and never read, but they DO flow
     # through the pre-norm LayerNorm whose sqrt(var) backward is infinite at
     # var=0 — a constant filler row would poison the grads with NaN * 0. An
@@ -223,7 +233,12 @@ def greedy_decode(model: EncoderDecoder, variables, src, src_mask, max_len: int,
 
     @jax.checkpoint
     def step(ys, i):
-        out = model.apply(variables, memory, src_mask, ys, causal, method=EncoderDecoder.decode)
+        if dropout_rng is not None:
+            out = model.apply(variables, memory, src_mask, ys, causal, False,
+                              method=EncoderDecoder.decode,
+                              rngs={"dropout": jax.random.fold_in(dec_rng, i)})
+        else:
+            out = model.apply(variables, memory, src_mask, ys, causal, method=EncoderDecoder.decode)
         nxt = model.apply(variables, out[:, i], method=EncoderDecoder.generator)
         ys = jax.lax.dynamic_update_slice(ys, nxt[:, None, :], (0, i + 1, 0))
         return ys, None
@@ -237,8 +252,9 @@ def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: Re
     (train_stacked_transformer.py:178-251). Returns fn(variables, src, trg_y,
     cams_stacked, n_cams) -> (loss, metrics)."""
 
-    def loss_fn(variables, src, trg_y, cams, src_mask=None):
-        pred = greedy_decode(model, variables, src, src_mask, trg_y.shape[1] + 1, stack)[:, 1:]
+    def loss_fn(variables, src, trg_y, cams, src_mask=None, dropout_rng=None):
+        pred = greedy_decode(model, variables, src, src_mask, trg_y.shape[1] + 1, stack,
+                             dropout_rng=dropout_rng)[:, 1:]
         pred_list = unstack_tokens(pred[0], stack)  # [Lt*2^s, 26]
         tgt_list = unstack_tokens(trg_y[0], stack)
 
@@ -335,9 +351,9 @@ def make_train_step(model, handler, render_cfg, optimizer, stack: int = STACK):
     loss_fn = make_loss_fn(model, handler, render_cfg, stack)
 
     @jax.jit
-    def step(params, opt_state, src, trg_y, cams, lr, src_mask=None):
+    def step(params, opt_state, src, trg_y, cams, lr, src_mask=None, dropout_rng=None):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, src, trg_y, cams, src_mask
+            params, src, trg_y, cams, src_mask, dropout_rng
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: u * (lr / 1.0), updates)

@@ -52,6 +52,47 @@ class TestBlockwise:
         for a, b in zip(g_ref, g_blk):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
 
+    def test_dropout_matches_dense_reconstruction(self):
+        """Blockwise numerator-masked dropout == dense dropout(softmax(s)) @ V
+        with the same per-block Bernoulli keep masks."""
+        from gaussian_transformer_tpu.ops.attention import MASK_FILL
+
+        rng = np.random.RandomState(6)
+        B, H, Lq, Lk, D, block_k, rate = 2, 2, 16, 32, 8, 8, 0.3
+        q, k, v = rand_qkv(rng, B=B, H=H, Lq=Lq, Lk=Lk, D=D)
+        key = jax.random.PRNGKey(7)
+        out = blockwise_attention(
+            q, k, v, block_k=block_k, dropout_rate=rate, dropout_rng=key
+        )
+        # Rebuild the exact keep masks the kernel streams (fold_in per block).
+        keeps = [
+            jax.random.bernoulli(
+                jax.random.fold_in(key, i), 1.0 - rate, (B, H, Lq, block_k)
+            )
+            for i in range(Lk // block_k)
+        ]
+        keep = jnp.concatenate(keeps, axis=-1)
+        scores = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(jnp.asarray(D, q.dtype))
+        p = jax.nn.softmax(scores, axis=-1)
+        ref = jnp.einsum("...qk,...kd->...qd", p * keep / (1.0 - rate), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_mha_blockwise_dropout_train_mode(self):
+        """deterministic=False on the blockwise path applies dropout (output
+        differs from eval mode) and stays finite."""
+        from gaussian_transformer_tpu.models.transformer import MultiHeadedAttention
+
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(1, 30, 32), jnp.float32)
+        mha = MultiHeadedAttention(h=4, d_model=32, dropout=0.5, block_k=8)
+        params = mha.init(jax.random.PRNGKey(0), x, x, x, None)
+        eval_out = mha.apply(params, x, x, x, None, True)
+        train_out = mha.apply(
+            params, x, x, x, None, False, rngs={"dropout": jax.random.PRNGKey(1)}
+        )
+        assert np.all(np.isfinite(np.asarray(train_out)))
+        assert not np.allclose(np.asarray(train_out), np.asarray(eval_out), atol=1e-3)
+
     def test_mha_blockwise_matches_dense(self):
         from gaussian_transformer_tpu.models.transformer import MultiHeadedAttention
 

@@ -21,6 +21,7 @@ from gaussian_transformer_tpu.models.codec import (
     TOKEN_DIM,
     fuzzy_token_equal,
 )
+from gaussian_transformer_tpu.models.transformer import subsequent_mask
 from gaussian_transformer_tpu.render import RenderConfig
 from gaussian_transformer_tpu.train.flat import (
     EmbeddedEncoderDecoder,
@@ -102,6 +103,22 @@ class TestFlatLoss:
             losses.append(float(loss))
         assert np.all(np.isfinite(losses))
         assert losses[-1] < losses[0], losses
+
+    def test_block_k_model_matches_dense(self):
+        """--attn_block_k plumbing: the full flat model with blockwise
+        attention reproduces the dense model bit-for-nearly-bit (same params,
+        deterministic)."""
+        rng = np.random.RandomState(11)
+        src = jnp.asarray(rng.randn(2, 20, TOKEN_DIM), jnp.float32)
+        tgt = jnp.asarray(rng.randn(2, 12, TOKEN_DIM), jnp.float32)
+        src_mask = jnp.asarray(rng.rand(2, 1, 20) > 0.2)
+        tgt_mask = subsequent_mask(12)
+        dense = EmbeddedEncoderDecoder(N=1, d_model=64, dropout=0.0)
+        blk = EmbeddedEncoderDecoder(N=1, d_model=64, dropout=0.0, block_k=8)
+        params = init_flat_model(dense, jax.random.PRNGKey(2))
+        a = dense.apply(params, src, tgt, src_mask, tgt_mask, True)
+        b = blk.apply(params, src, tgt, src_mask, tgt_mask, True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
 
     def test_greedy_decode_flat(self):
         model = EmbeddedEncoderDecoder(N=1, d_model=64, dropout=0.0)

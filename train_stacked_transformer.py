@@ -31,6 +31,10 @@ def main():
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--stack", type=int, default=8)
     parser.add_argument("--layers", type=int, default=2)
+    parser.add_argument(
+        "--attn_block_k", type=int, default=0,
+        help="key-block size for blockwise (flash-style) attention; 0 = dense",
+    )
     parser.add_argument("--epochs", type=int, default=20000)
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--run_name", type=str, default=None)
@@ -79,7 +83,7 @@ def main():
     tscene = TrainingScene(scene, render_cfg, batch_size=args.batch_size, stack=args.stack)
 
     D = stacked_token_dim(args.stack)
-    model = make_model(args.stack, D, D, N=args.layers, d_model=D)
+    model = make_model(args.stack, D, D, N=args.layers, d_model=D, block_k=args.attn_block_k)
     params = init_model(model, jax.random.PRNGKey(0))
     optimizer = optax.adam(1.0, b1=0.9, b2=0.999, eps=1e-4)  # lr injected per step
     opt_state = optimizer.init(params)
@@ -106,6 +110,7 @@ def main():
         pass
 
     step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, args.stack)
+    drop_base = jax.random.PRNGKey(42)  # model.train(): dropout active per step
 
     # Viewer hook (reference handleViewer, train_stacked_transformer.py:284-320):
     # teacher-forced forward of the LAST batch, rendered prompt+prediction.
@@ -142,6 +147,7 @@ def main():
                 params, opt_state, loss, metrics = step_fn(
                     params, opt_state, batch.src, batch.trg_y, batch.cameras,
                     jnp.asarray(scheduler.lr), batch.src_mask,
+                    jax.random.fold_in(drop_base, global_step),
                 )
                 loss = float(loss)
                 total_loss += loss

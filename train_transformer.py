@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--d_model", type=int, default=1024)
     parser.add_argument("--layers", type=int, default=6)
     parser.add_argument("--max_len", type=int, default=15000)
+    parser.add_argument(
+        "--attn_block_k", type=int, default=0,
+        help="key-block size for blockwise (flash-style) attention; 0 = dense",
+    )
     args = parser.parse_args(sys.argv[1:])
     print("Optimizing " + args.model_path)
     # Platform override that works even where PJRT plugins ignore
@@ -63,7 +67,7 @@ def main():
     tscene = FlatTrainingScene(scene, render_cfg, max_len=args.max_len)
     assert tscene.size > 0, "no cameras within the visible-count window"
 
-    model = EmbeddedEncoderDecoder(N=args.layers, d_model=args.d_model)
+    model = EmbeddedEncoderDecoder(N=args.layers, d_model=args.d_model, block_k=args.attn_block_k)
     params = init_flat_model(model, jax.random.PRNGKey(0))
     optimizer = make_noam_adamax(args.d_model)
     opt_state = optimizer.init(params)
@@ -80,13 +84,15 @@ def main():
     import optax
 
     @jax.jit
-    def step_fn(params, opt_state, src, trg, trg_y, src_mask, trg_mask, cam):
+    def step_fn(params, opt_state, src, trg, trg_y, src_mask, trg_mask, cam, drop_key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, src, trg, trg_y, src_mask, trg_mask, cam
+            params, src, trg, trg_y, src_mask, trg_mask, cam, drop_key
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, metrics
+
+    drop_base = jax.random.PRNGKey(42)  # model.train(): dropout active per step
 
     tb_writer = None
     try:
@@ -108,6 +114,7 @@ def main():
             params, opt_state, loss, metrics = step_fn(
                 params, opt_state, batch["src"], batch["trg"], batch["trg_y"],
                 batch["src_mask"], batch["trg_mask"], batch["cam"],
+                jax.random.fold_in(drop_base, global_step),
             )
             total += float(loss)
             if tb_writer:
