@@ -26,29 +26,35 @@ class GroupParams:
 
 
 class ParamGroup:
-    """Reflects instance attributes into an argparse group
-    (arguments/__init__.py:19-45 behavior)."""
+    """Declarative flag group: subclass ``__init__`` assigns attributes, and
+    each one becomes an argparse option whose type/default come from the
+    assigned value. Contract (matching arguments/__init__.py:19-45): a leading
+    underscore adds a one-letter ``-x`` alias, bools become ``store_true``
+    flags, and ``fill_none`` registers every default as None (the sentinel
+    mode get_combined_args uses to tell "flag given" from "default")."""
 
     def __init__(self, parser: ArgumentParser, name: str, fill_none: bool = False):
+        self._spec = {}  # public flag name -> declared attr name
         group = parser.add_argument_group(name)
-        for key, value in vars(self).items():
-            shorthand = False
-            if key.startswith("_"):
-                shorthand = True
-                key = key[1:]
-            t = type(value)
-            value = value if not fill_none else None
-            names = ["--" + key] + (["-" + key[0:1]] if shorthand else [])
-            if t is bool:
-                group.add_argument(*names, default=value, action="store_true")
+        for attr, default in list(vars(self).items()):
+            if attr == "_spec":
+                continue
+            flag = attr.lstrip("_")
+            self._spec[flag] = attr
+            names = [f"--{flag}"] + ([f"-{flag[0]}"] if attr.startswith("_") else [])
+            opts = {"default": None if fill_none else default}
+            if isinstance(default, bool):
+                opts["action"] = "store_true"
             else:
-                group.add_argument(*names, default=value, type=t)
+                opts["type"] = type(default)
+            group.add_argument(*names, **opts)
 
     def extract(self, args) -> GroupParams:
+        """Pull this group's flags out of a parsed (or merged) namespace."""
         group = GroupParams()
-        for k, v in vars(args).items():
-            if k in vars(self) or ("_" + k) in vars(self):
-                setattr(group, k, v)
+        for key, value in vars(args).items():
+            if key in self._spec:
+                setattr(group, key, value)
         return group
 
 

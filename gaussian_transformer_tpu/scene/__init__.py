@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import shutil
 
 from gaussian_transformer_tpu.scene.gaussians import GaussianScene
 from gaussian_transformer_tpu.scene.cameras import Camera, MiniCam
@@ -21,7 +22,36 @@ from gaussian_transformer_tpu.utils.system import search_for_max_iteration
 __all__ = ["Scene", "GaussianScene", "Camera", "MiniCam"]
 
 
+def _load_scene_info(source_path: str, images: str, white_background: bool, eval_split: bool):
+    """Autodetect the dataset flavor from its on-disk layout: a ``sparse/``
+    dir means COLMAP, ``transforms_train.json`` means Blender/NeRF-synthetic."""
+    if os.path.isdir(os.path.join(source_path, "sparse")):
+        return scene_load_type_callbacks["Colmap"](source_path, images, eval_split)
+    if os.path.isfile(os.path.join(source_path, "transforms_train.json")):
+        print("transforms_train.json present -> loading as a Blender data set")
+        return scene_load_type_callbacks["Blender"](source_path, white_background, eval_split)
+    raise AssertionError(f"unrecognized scene layout at {source_path!r}")
+
+
+def _export_model_dir_inputs(model_path: str, scene_info) -> None:
+    """First-run exports the downstream tools rely on: the initial point cloud
+    as ``input.ply`` and all cameras (test first, then train — the id order
+    the SIBR viewer expects) as ``cameras.json``."""
+    os.makedirs(model_path, exist_ok=True)
+    shutil.copyfile(scene_info.ply_path, os.path.join(model_path, "input.ply"))
+    cams = list(scene_info.test_cameras or []) + list(scene_info.train_cameras or [])
+    payload = [camera_to_json(i, cam) for i, cam in enumerate(cams)]
+    with open(os.path.join(model_path, "cameras.json"), "w") as f:
+        json.dump(payload, f)
+
+
 class Scene:
+    """Dataset + GaussianScene pair rooted at a model directory.
+
+    Fresh runs (``load_iteration=None``) initialize the Gaussians from the
+    dataset's point cloud and write input.ply/cameras.json; resumed runs load
+    ``point_cloud/iteration_N/point_cloud.ply`` (N=-1 picks the latest)."""
+
     gaussians: GaussianScene
 
     def __init__(
@@ -37,44 +67,24 @@ class Scene:
         """args needs: model_path, source_path, images, eval, white_background,
         resolution (the ModelParams group)."""
         self.model_path = args.model_path
+        if sh_degree is None:
+            sh_degree = getattr(args, "sh_degree", 3)
+
         self.loaded_iter = None
-        sh_degree = sh_degree if sh_degree is not None else getattr(args, "sh_degree", 3)
-
         if load_iteration:
-            if load_iteration == -1:
-                self.loaded_iter = search_for_max_iteration(os.path.join(self.model_path, "point_cloud"))
-                assert self.loaded_iter is not None, "Could not load iter!"
-            else:
-                self.loaded_iter = load_iteration
-            print("Loading trained model at iteration {}".format(self.loaded_iter))
+            self.loaded_iter = (
+                search_for_max_iteration(os.path.join(self.model_path, "point_cloud"))
+                if load_iteration == -1
+                else load_iteration
+            )
+            assert self.loaded_iter is not None, "Could not load iter!"
+            print(f"Loading trained model at iteration {self.loaded_iter}")
 
-        self.train_cameras = {}
-        self.test_cameras = {}
-
-        if os.path.exists(os.path.join(args.source_path, "sparse")):
-            scene_info = scene_load_type_callbacks["Colmap"](args.source_path, args.images, args.eval)
-        elif os.path.exists(os.path.join(args.source_path, "transforms_train.json")):
-            print("Found transforms_train.json file, assuming Blender data set!")
-            scene_info = scene_load_type_callbacks["Blender"](args.source_path, args.white_background, args.eval)
-        else:
-            raise AssertionError("Could not recognize scene type!")
-
+        scene_info = _load_scene_info(
+            args.source_path, args.images, args.white_background, args.eval
+        )
         if not self.loaded_iter:
-            os.makedirs(self.model_path, exist_ok=True)
-            with open(scene_info.ply_path, "rb") as src_file, open(
-                os.path.join(self.model_path, "input.ply"), "wb"
-            ) as dest_file:
-                dest_file.write(src_file.read())
-            json_cams = []
-            camlist = []
-            if scene_info.test_cameras:
-                camlist.extend(scene_info.test_cameras)
-            if scene_info.train_cameras:
-                camlist.extend(scene_info.train_cameras)
-            for id, cam in enumerate(camlist):
-                json_cams.append(camera_to_json(id, cam))
-            with open(os.path.join(self.model_path, "cameras.json"), "w") as file:
-                json.dump(json_cams, file)
+            _export_model_dir_inputs(self.model_path, scene_info)
 
         if shuffle:
             random.shuffle(scene_info.train_cameras)
@@ -82,21 +92,24 @@ class Scene:
 
         self.cameras_extent = scene_info.nerf_normalization["radius"]
 
-        for resolution_scale in resolution_scales:
+        self.train_cameras = {}
+        self.test_cameras = {}
+        for scale in resolution_scales:
             print("Loading Training Cameras")
-            self.train_cameras[resolution_scale] = camera_list_from_cam_infos(
-                scene_info.train_cameras, resolution_scale, args
+            self.train_cameras[scale] = camera_list_from_cam_infos(
+                scene_info.train_cameras, scale, args
             )
             print("Loading Test Cameras")
-            self.test_cameras[resolution_scale] = camera_list_from_cam_infos(
-                scene_info.test_cameras, resolution_scale, args
+            self.test_cameras[scale] = camera_list_from_cam_infos(
+                scene_info.test_cameras, scale, args
             )
 
         if self.loaded_iter:
+            ply = os.path.join(
+                self.model_path, "point_cloud", f"iteration_{self.loaded_iter}", "point_cloud.ply"
+            )
             self.gaussians = GaussianScene.load_ply(
-                os.path.join(self.model_path, "point_cloud", f"iteration_{self.loaded_iter}", "point_cloud.ply"),
-                max_sh_degree=sh_degree,
-                capacity=capacity,
+                ply, max_sh_degree=sh_degree, capacity=capacity
             )
         else:
             assert scene_info.point_cloud is not None, "scene has no initial point cloud"
@@ -105,8 +118,8 @@ class Scene:
             )
 
     def save(self, iteration: int) -> None:
-        point_cloud_path = os.path.join(self.model_path, f"point_cloud/iteration_{iteration}")
-        self.gaussians.save_ply(os.path.join(point_cloud_path, "point_cloud.ply"))
+        out = os.path.join(self.model_path, f"point_cloud/iteration_{iteration}")
+        self.gaussians.save_ply(os.path.join(out, "point_cloud.ply"))
 
     def get_train_cameras(self, scale=1.0):
         return self.train_cameras[scale]

@@ -302,6 +302,88 @@ def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: Re
     return loss_fn
 
 
+class LiveViewerStream:
+    """Live autoregressive viewer streaming (reference
+    train_stacked_transformer.py:300-314): when the SIBR viewer pauses
+    training (train=False), every greedy-decode step's partial reconstruction
+    is rendered and sent immediately. Decode runs the O(L)-per-step KV-cached
+    path (models/decode_cache); training keeps the backprop-able scan decode.
+
+    ``network_gui.pump_stacked`` drives the .start()/.step()/.render() hooks;
+    the trainer refreshes the batch + params with .set_batch() each step."""
+
+    def __init__(self, model: EncoderDecoder, handler: GaussianHandler,
+                 render_cfg: RenderConfig, stack: int = STACK):
+        from gaussian_transformer_tpu.models.decode_cache import (
+            decode_step,
+            init_decode_state,
+        )
+
+        self.n_steps = 0
+        self.params = None
+        self.batch: Optional[StackedBatch] = None
+
+        def _start(variables, src, src_mask, max_len):
+            state = init_decode_state(model, variables, src, src_mask, max_len)
+            ys = jnp.zeros((src.shape[0], max_len, src.shape[-1]), src.dtype)
+            return ys.at[:, 0].set(start_token(stack)), state
+
+        def _step(variables, ys, state, i):
+            token = jax.lax.dynamic_slice_in_dim(ys, i, 1, axis=1)
+            nxt, state = decode_step(model, variables, state, token, i)
+            return jax.lax.dynamic_update_slice(ys, nxt[:, None, :], (0, i + 1, 0)), state
+
+        def _image(src, src_mask, ys, trg_y, n_valid, cam, smod, show_prompt, show_pred):
+            # display() semantics (train_stacked_transformer.py:271-281):
+            # prompt and/or decoded-so-far; neither flag -> ground-truth target.
+            if show_prompt or show_pred:
+                tokens = jnp.concatenate([src[0], ys[0]], axis=0)
+                alive_fat = jnp.concatenate([
+                    src_mask[0, 0] & show_prompt,
+                    (jnp.arange(ys.shape[1]) <= n_valid) & show_pred,
+                ])
+            else:
+                tokens = trg_y[0]
+                alive_fat = ~fuzzy_token_equal(trg_y[0], pad_token(stack))
+            g = handler.denormalize(
+                unflatten_gaussians(unstack_tokens(tokens, stack))
+            ).replace(alive=jnp.repeat(alive_fat, 2**stack))
+            return render(cam, g, render_cfg, scaling_modifier=smod)["render"]
+
+        self._start_fn = jax.jit(_start, static_argnames="max_len")
+        self._step_fn = jax.jit(_step)
+        self._image_fn = jax.jit(_image, static_argnames=("show_prompt", "show_pred"))
+
+    def set_batch(self, params, batch: StackedBatch) -> None:
+        self.params = params
+        self.batch = batch
+        self.n_steps = int(batch.trg_y.shape[1])
+
+    def start(self):
+        b = self.batch
+        ys, state = self._start_fn(self.params, b.src, b.src_mask, int(b.trg_y.shape[1]) + 1)
+        return ys, state, 0
+
+    def step(self, carry):
+        ys, state, i = carry
+        ys, state = self._step_fn(self.params, ys, state, jnp.int32(i))
+        return ys, state, i + 1
+
+    def render(self, carry, cam, smod, show_prompt, show_pred):
+        ys, _, i = carry
+        return self.compose(ys, i, cam, smod, show_prompt, show_pred)
+
+    def compose(self, ys, n_valid, cam, smod, show_prompt, show_pred):
+        """display() composite for any prediction buffer ``ys`` with rows
+        0..n_valid live — shared by the streaming path and the teacher-forced
+        train-mode viewer image."""
+        b = self.batch
+        return self._image_fn(
+            b.src, b.src_mask, ys, b.trg_y, jnp.int32(n_valid), cam,
+            jnp.float32(smod), bool(show_prompt), bool(show_pred),
+        )
+
+
 class ReduceLROnPlateau:
     """Host-side lr controller with torch's exact semantics (mode='min',
     threshold_mode='rel', threshold=1e-4) plus the reference's cooldown=5

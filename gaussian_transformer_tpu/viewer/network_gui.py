@@ -29,10 +29,16 @@ listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
 
 
 def init(wish_host: str, wish_port: int) -> None:
-    """Bind the non-blocking listener (network_gui.py:26-32)."""
+    """Bind the non-blocking listener (network_gui.py:26-32). Re-initializable:
+    an already-bound listener is replaced so trainers (and tests) can rebind."""
     global host, port, listener
     host = wish_host
     port = wish_port
+    try:
+        listener.close()
+    except OSError:
+        pass
+    listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     listener.bind((host, port))
     listener.listen()
@@ -110,6 +116,53 @@ def image_to_bytes(image) -> memoryview:
     arr = np.asarray(image)
     arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8).transpose(1, 2, 0)
     return memoryview(np.ascontiguousarray(arr))
+
+
+def pump_stacked(render_train_fn, stream, source_path: str = "") -> None:
+    """One stacked-trainer viewer tick (reference handleViewer,
+    train_stacked_transformer.py:284-320). The stacked protocol REPURPOSES two
+    request slots: ``shs_python`` carries show_pred and ``keep_alive`` carries
+    show_prompt.
+
+    ``render_train_fn(cam, smod, show_prompt, show_pred) -> image | None`` —
+    teacher-forced composite served while training continues (train=True).
+
+    ``stream`` — None, or an object with ``.start() -> carry``,
+    ``.step(carry) -> carry``, ``.render(carry, cam, smod, show_prompt,
+    show_pred) -> image`` and ``.n_steps``. When the viewer PAUSES training
+    (train=False), the decode runs live: each step's partial reconstruction is
+    rendered and sent immediately, re-receiving between steps so the viewer
+    can interrupt (the reference's per-step send/receive loop, :300-314).
+
+    Deviation from the reference: its handleViewer only exits via exception;
+    we return to training as soon as the viewer requests train=True, matching
+    the base-trainer pump semantics."""
+    global conn
+    if conn is None:
+        try_connect()
+    while conn is not None:
+        try:
+            net_image_bytes = None
+            cam, do_training, show_pred, _, show_prompt, smod = receive()
+            if cam is not None and (do_training or stream is None or stream.n_steps == 0):
+                image = render_train_fn(cam, smod, show_prompt, show_pred)
+                if image is not None:
+                    net_image_bytes = image_to_bytes(image)
+            elif cam is not None:
+                carry = stream.start()
+                for _ in range(stream.n_steps):
+                    carry = stream.step(carry)
+                    image = stream.render(carry, cam, smod, show_prompt, show_pred)
+                    net_image_bytes = image_to_bytes(image)
+                    send(net_image_bytes, source_path)
+                    cam, do_training, show_pred, _, show_prompt, smod = receive()
+                    if cam is None or do_training:
+                        break
+            send(net_image_bytes, source_path)
+            if do_training:
+                break
+        except Exception:
+            conn = None
 
 
 def pump(render_fn, source_path: str = "", keep_alive_default: bool = False) -> None:

@@ -63,6 +63,82 @@ class TestHealth:
 
 
 class TestViewerProtocol:
+    def test_stacked_live_streaming(self):
+        """pump_stacked: while the client requests train=False, one image is
+        sent per decode step (live autoregressive streaming); train=True
+        returns control to the trainer."""
+        from gaussian_transformer_tpu.viewer import network_gui
+
+        port = 16611
+        network_gui.init("127.0.0.1", port)
+
+        H, W = 6, 10
+
+        class FakeStream:
+            n_steps = 3
+
+            def start(self):
+                return 0
+
+            def step(self, carry):
+                return carry + 1
+
+            def render(self, carry, cam, smod, show_prompt, show_pred):
+                # Encode the step index into the pixel value to observe order.
+                v = carry / 255.0
+                return jnp.broadcast_to(jnp.float32(v), (3, H, W))
+
+        def render_train_fn(cam, smod, show_prompt, show_pred):
+            return jnp.broadcast_to(jnp.float32(200 / 255.0), (3, H, W))
+
+        def request(train):
+            msg = {
+                "resolution_x": W, "resolution_y": H, "train": train, "fov_y": 0.8,
+                "fov_x": 1.0, "z_near": 0.01, "z_far": 100.0, "shs_python": True,
+                "rot_scale_python": False, "keep_alive": True, "scaling_modifier": 1.0,
+                "view_matrix": list(np.eye(4).ravel().astype(float)),
+                "view_projection_matrix": list(np.eye(4).ravel().astype(float)),
+            }
+            payload = json.dumps(msg).encode()
+            return len(payload).to_bytes(4, "little") + payload
+
+        def recv_reply(s):
+            want = H * W * 3
+            img = b""
+            while len(img) < want:
+                chunk = s.recv(want - len(img))
+                assert chunk, "connection closed mid-image"
+                img += chunk
+            ln = int.from_bytes(s.recv(4), "little")
+            s.recv(ln)
+            return img[0]  # first byte encodes the step index
+
+        got = []
+
+        def client():
+            time.sleep(0.1)
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            s.sendall(request(False))  # pause training -> server streams
+            got.append(recv_reply(s))  # step 1
+            s.sendall(request(False))
+            got.append(recv_reply(s))  # step 2
+            s.sendall(request(False))
+            got.append(recv_reply(s))  # step 3
+            s.sendall(request(True))  # resume training
+            got.append(recv_reply(s))  # final (repeat of last) image
+            s.close()
+
+        th = threading.Thread(target=client)
+        th.start()
+        deadline = time.time() + 15
+        while time.time() < deadline and len(got) < 4:
+            network_gui.pump_stacked(render_train_fn, FakeStream(), "/scene")
+            time.sleep(0.02)
+        th.join(timeout=5)
+        network_gui.conn = None
+
+        assert got == [1, 2, 3, 3], got
+
     def test_wire_roundtrip(self):
         """Drive the network_gui server with a fake SIBR client over a real
         socket: JSON request -> image bytes + source path reply."""

@@ -153,6 +153,39 @@ class TestDecodeAndLoss:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestLiveViewerStream:
+    def test_stream_decode_matches_scan_and_renders(self):
+        """The viewer's KV-cached streaming decode reproduces the training
+        scan decode token-for-token, and every display() mode renders."""
+        from gaussian_transformer_tpu.train.stacked import LiveViewerStream
+
+        ts = make_tscene()
+        ts.set_epoch(100)
+        batch = ts.make_batch([0, 1])
+        model = small_model()
+        variables = init_model(model, jax.random.PRNGKey(5))
+        stream = LiveViewerStream(model, ts.handler, ts.render_cfg, STACK_S)
+        stream.set_batch(variables, batch)
+        assert stream.n_steps == batch.trg_y.shape[1]
+
+        carry = stream.start()
+        for _ in range(stream.n_steps):
+            carry = stream.step(carry)
+        ys, _, pos = carry
+        assert pos == stream.n_steps
+        ref = greedy_decode(
+            model, variables, batch.src, batch.src_mask,
+            batch.trg_y.shape[1] + 1, STACK_S,
+        )
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), atol=5e-5)
+
+        cam = batch.cameras[0]
+        for show_prompt, show_pred in [(True, True), (True, False), (False, True), (False, False)]:
+            img = stream.render(carry, cam, 1.0, show_prompt, show_pred)
+            assert img.shape[0] == 3
+            assert np.all(np.isfinite(np.asarray(img)))
+
+
 class TestCachedDecode:
     def test_matches_scan_decode(self):
         """KV-cached inference decode must reproduce the trainers'

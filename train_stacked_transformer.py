@@ -58,11 +58,11 @@ def main():
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
 
-    from gaussian_transformer_tpu.models.codec import unflatten_gaussians, unstack_tokens
     from gaussian_transformer_tpu.models.transformer import EncoderDecoder, make_model, init_model
-    from gaussian_transformer_tpu.render import RenderConfig, render
+    from gaussian_transformer_tpu.render import RenderConfig
     from gaussian_transformer_tpu.scene import Scene
     from gaussian_transformer_tpu.train.stacked import (
+        LiveViewerStream,
         ReduceLROnPlateau,
         TrainingScene,
         load_checkpoint,
@@ -112,27 +112,23 @@ def main():
     step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, args.stack)
     drop_base = jax.random.PRNGKey(42)  # model.train(): dropout active per step
 
-    # Viewer hook (reference handleViewer, train_stacked_transformer.py:284-320):
-    # teacher-forced forward of the LAST batch, rendered prompt+prediction.
-    last_batch = {}
+    # Viewer hooks (reference handleViewer, train_stacked_transformer.py:284-320):
+    # while training continues, a teacher-forced composite of the LAST batch;
+    # when the viewer pauses training, LIVE per-step autoregressive streaming
+    # through the KV-cached decoder (LiveViewerStream).
+    stream = LiveViewerStream(model, tscene.handler, render_cfg, args.stack)
 
     @jax.jit
-    def _viewer_image(params, src, trg, src_mask, trg_mask, cam, smod):
+    def _tf_pred(params, src, trg, src_mask, trg_mask):
         out = model.apply(params, src, trg, src_mask, trg_mask, True)
-        gen = model.apply(params, out, method=EncoderDecoder.generator)
-        tokens = jnp.concatenate([src[0], gen[0]], axis=0)
-        g = tscene.handler.denormalize(
-            unflatten_gaussians(unstack_tokens(tokens, args.stack))
-        )
-        return render(cam, g, render_cfg, scaling_modifier=smod)["render"]
+        return model.apply(params, out, method=EncoderDecoder.generator)
 
-    def viewer_fn(cam, smod):
-        if "b" not in last_batch:
+    def viewer_train_fn(cam, smod, show_prompt, show_pred):
+        if stream.batch is None:
             return None
-        b = last_batch["b"]
-        return _viewer_image(
-            params, b.src, b.trg, b.src_mask, b.trg_mask, cam, jnp.float32(smod)
-        )
+        b = stream.batch
+        gen = _tf_pred(params, b.src, b.trg, b.src_mask, b.trg_mask)
+        return stream.compose(gen, gen.shape[1], cam, smod, show_prompt, show_pred)
 
     global_step = 0
     for epoch in range(first_epoch, args.epochs):
@@ -142,8 +138,8 @@ def main():
             for batch in tscene.batches():
                 if batch is None:
                     continue
-                last_batch["b"] = batch
-                network_gui.pump(viewer_fn, dataset.source_path)
+                stream.set_batch(params, batch)
+                network_gui.pump_stacked(viewer_train_fn, stream, dataset.source_path)
                 params, opt_state, loss, metrics = step_fn(
                     params, opt_state, batch.src, batch.trg_y, batch.cameras,
                     jnp.asarray(scheduler.lr), batch.src_mask,
