@@ -11,9 +11,13 @@ GPU: ~20 train iters/s at ~1080p ≈ 4.15e7 pixels/s fwd+bwd (upstream paper's
 "~30 min for 30k iterations"; the reference repo itself publishes no numbers —
 see BASELINE.md).
 
-Prints ONE JSON line.
+Default run prints ONE JSON line. ``--scale`` additionally sweeps realistic
+scene sizes (200k / 1M Gaussians — real trained 3DGS scenes run 0.5-5M,
+reference growth path scene/gaussian_model.py:349-403) and prints a
+Gaussians-vs-throughput table; results are recorded in BENCH_SCALE.md.
 """
 
+import argparse
 import json
 import math
 import time
@@ -25,60 +29,107 @@ WIDTH, HEIGHT = 1920, 1080
 WARMUP, ITERS = 2, 10
 
 
-def main():
-    import jax
-
-    # Persistent compilation cache: the step graph takes minutes to compile;
-    # repeat bench runs should pay it once.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gt_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    import jax.numpy as jnp
-
-    from gaussian_transformer_tpu.render import RenderConfig
+def _camera(center, extent, rng):
     from gaussian_transformer_tpu.scene.cameras import Camera
-    from gaussian_transformer_tpu.scene.gaussians import GaussianScene
-    from gaussian_transformer_tpu.scene.densify import DensifyStats
-    from gaussian_transformer_tpu.scene.ply import fetch_point_cloud
-    from gaussian_transformer_tpu.train.optim import AdamState
-    from gaussian_transformer_tpu.train.splat import OptConfig, train_step
 
-    pcd = fetch_point_cloud("/root/reference/table_ds/sparse/0/points3D.ply")
-    scene = GaussianScene.from_pcd(pcd, max_sh_degree=1)
-    center = pcd.points.mean(0)
-    extent = float(np.abs(pcd.points - center).max())
-
-    rng = np.random.RandomState(0)
-    cam = Camera.create(
+    return Camera.create(
         colmap_id=0, R=np.eye(3), T=np.asarray(-center + np.array([0, 0, extent * 2.0])),
         fovx=math.radians(70), fovy=math.radians(70 * HEIGHT / WIDTH),
         image=rng.rand(3, HEIGHT, WIDTH).astype(np.float32), gt_alpha_mask=None,
         image_name="bench", uid=0,
     )
 
+
+def _base_cloud():
+    from gaussian_transformer_tpu.scene.ply import fetch_point_cloud
+
+    pcd = fetch_point_cloud("/root/reference/table_ds/sparse/0/points3D.ply")
+    center = pcd.points.mean(0)
+    extent = float(np.abs(pcd.points - center).max())
+    return pcd, center, extent
+
+
+def _table_scene(pcd):
+    from gaussian_transformer_tpu.scene.gaussians import GaussianScene
+
+    return GaussianScene.from_pcd(pcd, max_sh_degree=1)
+
+
+def _densified_scene(pcd, n_target, seed=0):
+    """Synthesize an n_target-Gaussian scene shaped like a DENSIFIED table_ds:
+    each base point spawns replicas jittered by its local 3-NN spacing, with
+    split-down log-scales and a trained-looking opacity spread (the state the
+    reference's densify loop, scene/gaussian_model.py:349-403, converges to)."""
+    import jax.numpy as jnp
+
+    from gaussian_transformer_tpu.ops.knn import mean_sq_dist_to_3nn
+    from gaussian_transformer_tpu.scene.gaussians import GaussianScene
+    from gaussian_transformer_tpu.utils.general import inverse_sigmoid
+    from gaussian_transformer_tpu.utils.sh import rgb_to_sh
+
+    rng = np.random.RandomState(seed)
+    points = np.asarray(pcd.points, np.float32)
+    colors = np.asarray(pcd.colors, np.float32)
+    n_base = points.shape[0]
+    # Local spacing of the base cloud (computed once at 17.6k — cheap).
+    nn = np.sqrt(np.maximum(np.asarray(mean_sq_dist_to_3nn(points)), 1e-7))
+
+    reps = int(np.ceil(n_target / n_base))
+    idx = np.tile(np.arange(n_base), reps)[:n_target]
+    jitter = rng.normal(0.0, 1.0, (n_target, 3)).astype(np.float32) * nn[idx, None] * 0.5
+    xyz = points[idx] + jitter
+    # Split semantics: children shrink by ~(1.6 * sqrt(reps)) relative to the
+    # parent's NN-spacing-seeded scale (reference split factor 0.8/1.6).
+    child_scale = nn[idx] / (1.6 * math.sqrt(reps))
+    log_scales = np.log(np.maximum(child_scale, 1e-7))[:, None].repeat(3, 1)
+    opacity_p = np.clip(rng.beta(2.0, 2.0, (n_target, 1)), 0.02, 0.98).astype(np.float32)
+
+    scene = GaussianScene.empty(n_target, max_sh_degree=1)
+    return scene.replace(
+        xyz=jnp.asarray(xyz),
+        features_dc=rgb_to_sh(jnp.asarray(colors[idx]))[:, None, :],
+        scaling=jnp.asarray(log_scales, jnp.float32),
+        rotation=scene.rotation,
+        opacity=inverse_sigmoid(jnp.asarray(opacity_p)),
+        alive=jnp.ones(n_target, bool),
+        active_sh_degree=1,
+    )
+
+
+def bench_step(scene, cam, extent):
+    """Time ITERS chained train_steps on-device; returns a result dict.
+
+    The steps run in ONE on-device fori_loop: the axon tunnel adds ~100ms
+    dispatch latency per host->device call, which would swamp the per-step
+    compute; a single dispatch measures the hardware, not the link."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    from gaussian_transformer_tpu.render import RenderConfig, render, tune_config
+    from gaussian_transformer_tpu.scene.densify import DensifyStats
+    from gaussian_transformer_tpu.train.optim import AdamState
+    from gaussian_transformer_tpu.train.splat import OptConfig, train_step
+
     opt = OptConfig()
     cfg = RenderConfig(max_per_tile=256)
     # Right-size the instance budget to this scene (same policy the trainer
     # applies at startup; binning work is linear in the budget).
-    from gaussian_transformer_tpu.render import render, tune_config
-
     probe = render(cam, scene, cfg)
-    cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded") if k in probe})
+    counts = {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded") if k in probe}
+    cfg = tune_config(cfg, counts)
+
     adam = AdamState.init(scene)
     stats = DensifyStats.init(scene.capacity)
     bg = jnp.zeros(3, jnp.float32)
     slrs = jnp.asarray(extent, jnp.float32)
 
-    # ITERS steps chained in ONE on-device fori_loop: the axon tunnel adds
-    # ~100ms dispatch latency per host->device call, which would swamp the
-    # per-step compute; a single dispatch measures the hardware, not the link.
     def body(i, carry):
         scene, adam, stats = carry
         scene, adam, stats, m = train_step(
             scene, adam, stats, cam, bg, i.astype(jnp.float32) + 1.0, slrs, opt, cfg
         )
         return scene, adam, stats
-
-    import jax.lax as lax
 
     run = jax.jit(lambda s, a, st, n: lax.fori_loop(0, n, body, (s, a, st)))
     out = run(scene, adam, stats, WARMUP)
@@ -89,7 +140,34 @@ def main():
     np.asarray(out[0].xyz[:1])
     dt = time.time() - t0
 
-    pixels_per_s = WIDTH * HEIGHT * ITERS / dt
+    return {
+        "n_gaussians": int(np.asarray(scene.num_alive)),
+        "n_instances": counts.get("n_instances", 0),
+        "overflow": int(np.asarray(probe["overflow"])),
+        "ms_per_step": dt / ITERS * 1e3,
+        "pixels_per_s": WIDTH * HEIGHT * ITERS / dt,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scale", action="store_true",
+                        help="also sweep 200k / 1M Gaussian scenes")
+    args = parser.parse_args()
+
+    import jax
+
+    # Persistent compilation cache: the step graph takes minutes to compile;
+    # repeat bench runs should pay it once.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    rng = np.random.RandomState(0)
+    pcd, center, extent = _base_cloud()
+    cam = _camera(center, extent, rng)
+
+    res = bench_step(_table_scene(pcd), cam, extent)
+    pixels_per_s = res["pixels_per_s"]
     print(
         json.dumps(
             {
@@ -100,6 +178,19 @@ def main():
             }
         )
     )
+
+    if args.scale:
+        rows = [res]
+        for n in (200_000, 1_000_000):
+            rows.append(bench_step(_densified_scene(pcd, n), cam, extent))
+        print("| Gaussians | instances | overflow | ms/step | MPix/s | vs CUDA baseline |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            print(
+                f"| {r['n_gaussians']:,} | {r['n_instances']:,} | {r['overflow']} "
+                f"| {r['ms_per_step']:.1f} | {r['pixels_per_s']/1e6:.1f} "
+                f"| {r['pixels_per_s']/BASELINE_PIXELS_PER_S:.2f}x |"
+            )
 
 
 if __name__ == "__main__":

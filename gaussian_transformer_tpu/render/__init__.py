@@ -77,12 +77,35 @@ class RenderConfig:
     # CHUNK-padded stream budget (stream compositor); 0 = auto estimate.
     max_stream: int = struct.field(pytree_node=False, default=0)
     tile_block: int = struct.field(pytree_node=False, default=64)
+    # Stream layout granularity (rows per compositor chunk); 0 = auto (32,
+    # doubled until the kernel's SMEM-resident chunk->tile map fits — large
+    # scenes need bigger chunks, see _auto_chunk).
+    chunk: int = struct.field(pytree_node=False, default=0)
     # Compositing backend: Pallas kernel (VMEM recurrence, custom VJP) or the
     # pure-XLA fallback (composite.py). Pallas interprets on CPU.
     use_pallas: bool = struct.field(pytree_node=False, default=True)
     # Pallas variant: padded-CSR instance stream (stream.py — no [T, K] table,
     # uncapped per-tile lists) vs the [T, K]-table kernel (pallas_composite.py).
     use_stream: bool = struct.field(pytree_node=False, default=True)
+
+
+_MAX_CHUNKS = 65536  # chunk->tile map is scalar-prefetched: [G] int32 in SMEM
+                     # (~1MB total); 64k entries = 256KB leaves ample headroom.
+
+
+def _auto_chunk(n_capacity: int, n_tiles: int, cfg: "RenderConfig") -> int:
+    """Smallest chunk size (>=32, power-of-two steps) whose chunk count fits
+    the SMEM budget for this scene's instance-stream length."""
+    if cfg.chunk:
+        return cfg.chunk
+    I = cfg.max_instances if cfg.max_instances > 0 else max(8192, 16 * n_capacity)
+    chunk = 32
+    while chunk < 1024:
+        i_pad = cfg.max_stream if cfg.max_stream > 0 else I + (n_tiles // 2 + 256) * chunk
+        if (i_pad + chunk - 1) // chunk <= _MAX_CHUNKS:
+            break
+        chunk *= 2
+    return chunk
 
 
 def render(
@@ -152,6 +175,7 @@ def render(
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             max_instances=cfg.max_instances,
             max_stream=cfg.max_stream,
+            chunk=_auto_chunk(means2d.shape[0], grid_w * grid_h, cfg),
         )
         order = binned.order
         img_pad, t_pad = stream_image(

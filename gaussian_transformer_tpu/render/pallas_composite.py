@@ -79,11 +79,11 @@ def _chunk_alpha(props_ref, tb, base, px, py):
 
 
 def _exclusive_cumprod_rows(one_minus):
-    """Exclusive prefix product along the CH (sublane) axis, Hillis-Steele."""
+    """Exclusive prefix product along the leading (sublane) axis, Hillis-Steele."""
     ones_row = jnp.ones((1, one_minus.shape[1]), one_minus.dtype)
     x = jnp.concatenate([ones_row, one_minus[:-1]], axis=0)  # shift down by 1
     s = 1
-    while s < CH:
+    while s < x.shape[0]:
         shifted = jnp.concatenate([jnp.ones((s, x.shape[1]), x.dtype), x[:-s]], axis=0)
         x = x * shifted
         s *= 2
@@ -91,11 +91,11 @@ def _exclusive_cumprod_rows(one_minus):
 
 
 def _row_product(v):
-    """Product over the CH axis -> [1, P] (Mosaic lacks reduce_prod; doubling
+    """Product over the leading axis -> [1, P] (Mosaic lacks reduce_prod; doubling
     product-scan, take the last row)."""
     x = v
     s = 1
-    while s < CH:
+    while s < x.shape[0]:
         shifted = jnp.concatenate([jnp.ones((s, x.shape[1]), x.dtype), x[:-s]], axis=0)
         x = x * shifted
         s *= 2
@@ -103,11 +103,11 @@ def _row_product(v):
 
 
 def _inclusive_or_rows(flags):
-    """Inclusive OR-scan (as float max) along the CH axis; flags float 0/1.
+    """Inclusive OR-scan (as float max) along the leading axis; flags float 0/1.
     (Mosaic has no cumsum/cummax primitive; Hillis-Steele doubling instead.)"""
     x = flags
     s = 1
-    while s < CH:
+    while s < x.shape[0]:
         shifted = jnp.concatenate([jnp.zeros((s, x.shape[1]), x.dtype), x[:-s]], axis=0)
         x = jnp.maximum(x, shifted)
         s *= 2
@@ -115,10 +115,10 @@ def _inclusive_or_rows(flags):
 
 
 def _inclusive_cumsum_rows(v):
-    """Inclusive prefix sum along the CH axis of a [CH, P] block."""
+    """Inclusive prefix sum along the leading (sublane) axis."""
     x = v
     s = 1
-    while s < CH:
+    while s < x.shape[0]:
         shifted = jnp.concatenate([jnp.zeros((s, x.shape[1]), x.dtype), x[:-s]], axis=0)
         x = x + shifted
         s *= 2

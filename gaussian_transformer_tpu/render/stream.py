@@ -8,11 +8,11 @@ traffic and a hard per-tile K cap), the compositor walks the instance stream
 directly:
 
   * binning (tiles.bin_stream) lays every tile's depth-ordered instance run
-    contiguously in one [I_pad] stream, padded so each CHUNK-row block belongs
+    contiguously in one [I_pad] stream, padded so each chunk-row block belongs
     to exactly ONE tile; property rows are gathered once at instance
     granularity ([I_pad, 16] — ~8x less traffic than the table),
   * the kernel grid is one program per chunk; Pallas double-buffers the
-    [CHUNK, 16] property blocks automatically, and the output block index is
+    [chunk, 16] property blocks automatically, and the output block index is
     the chunk's tile id (scalar-prefetched), so consecutive chunks of the same
     tile keep the accumulator in VMEM — the transmittance recurrence carries
     across programs through the out refs + a live-mask scratch,
@@ -23,7 +23,7 @@ directly:
     termination before the contribution that drops T below 1e-4), verified by
     the same golden/naive equivalence tests as the table kernel,
   * the backward kernel replays the forward per chunk and writes per-instance
-    gradient rows [CHUNK, 16] to its OWN block — no scatter conflicts; the
+    gradient rows [chunk, 16] to its OWN block — no scatter conflicts; the
     pullback to per-Gaussian arrays is one segment add over stream_gauss.
 
 Property row layout matches pallas_composite (PROPS_F = 16):
@@ -41,7 +41,7 @@ import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gaussian_transformer_tpu.render.tiles import CHUNK, TILE
+from gaussian_transformer_tpu.render.tiles import TILE
 from gaussian_transformer_tpu.render.pallas_composite import (
     CH,
     PROPS_F,
@@ -54,12 +54,14 @@ from gaussian_transformer_tpu.render.pallas_composite import (
     pack_props,
 )
 
-assert CHUNK == CH, "stream layout granularity must match the kernel chunk size"
+# The chunk size (stream layout granularity = kernel block rows) is inferred
+# per call as I_pad // len(chunk_tile); bin_stream picks it so the SMEM-resident
+# chunk->tile map stays small on large scenes. CH (=32) is the floor.
 P = TILE * TILE
 
 
 def _alpha_math(blk, px, py):
-    """Shared fwd/bwd alpha evaluation for one [CHUNK, 16] property block."""
+    """Shared fwd/bwd alpha evaluation for one [chunk, 16] property block."""
     x = blk[:, 0:1]
     y = blk[:, 1:2]
     a = blk[:, 2:3]
@@ -68,7 +70,7 @@ def _alpha_math(blk, px, py):
     opac = blk[:, 8:9]
     rgb = blk[:, 5:8]
 
-    dx = x - px  # [CHUNK, P]
+    dx = x - px  # [chunk, P]
     dy = y - py
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
     alpha_raw = opac * jnp.exp(jnp.minimum(power, 0.0))
@@ -185,7 +187,7 @@ def _bwd_kernel(
         def rsum(v):
             return jnp.sum(v, axis=1, keepdims=True)
 
-        zeros1 = jnp.zeros((CHUNK, 1), jnp.float32)
+        zeros1 = jnp.zeros((props_ref.shape[0], 1), jnp.float32)
         dprops_ref[:] = jnp.concatenate(
             [
                 rsum(g_dx), rsum(g_dy), rsum(g_a), rsum(g_b), rsum(g_c),
@@ -201,7 +203,7 @@ def _bwd_kernel(
 
     @pl.when(jnp.logical_not(active))
     def _():
-        dprops_ref[:] = jnp.zeros((CHUNK, PROPS_F), jnp.float32)
+        dprops_ref[:] = jnp.zeros(dprops_ref.shape, jnp.float32)
 
 
 def stream_image(
@@ -246,15 +248,16 @@ def _composite_stream_tiles(props, chunk_tile, grid_w, grid_h):
 
 def _run_fwd(props, chunk_tile, grid_w, grid_h):
     I_pad, F = props.shape
-    G = I_pad // CHUNK
+    G = chunk_tile.shape[0]
+    chunk = I_pad // G
     T = grid_w * grid_h
-    assert F == PROPS_F and I_pad % CHUNK == 0 and chunk_tile.shape == (G,)
+    assert F == PROPS_F and I_pad == G * chunk and chunk % CH == 0
     kernel = functools.partial(_fwd_kernel, grid_w=grid_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((CHUNK, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 3, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
@@ -283,7 +286,8 @@ def _stream_bwd_rule(grid_w, grid_h, residuals, cotangents):
     props, chunk_tile, color, final_t = residuals
     g_color, g_t = cotangents
     I_pad, F = props.shape
-    G = I_pad // CHUNK
+    G = chunk_tile.shape[0]
+    chunk = I_pad // G
     T = grid_w * grid_h
     # Trash row for the sentinel tile id T in the residual/cotangent tables.
     pad1 = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
@@ -295,14 +299,14 @@ def _stream_bwd_rule(grid_w, grid_h, residuals, cotangents):
         num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((CHUNK, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (CHUNK, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM
+            (chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((3, P), jnp.float32),

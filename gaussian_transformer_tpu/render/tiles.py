@@ -219,14 +219,15 @@ def _expand_unsorted(means2d, depths, radii, include, grid_w, grid_h, R, I):
 class StreamBinned(NamedTuple):
     """Padded-CSR instance stream for the stream compositor (stream.py).
 
-    Each tile's depth-ordered instance run is padded to a multiple of CHUNK so
-    every CHUNK-row block belongs to exactly one tile; padding/invalid rows use
+    Each tile's depth-ordered instance run is padded to a multiple of the
+    chunk size so every chunk-row block belongs to exactly one tile (the
+    granularity is recoverable as I_pad // len(chunk_tile)); padding rows use
     the gaussian sentinel C (whose property row is all zeros -> alpha 0).
     """
 
     order: jnp.ndarray  # [C] int32 — gaussian index by ascending depth
     stream_gauss: jnp.ndarray  # [I_pad] int32 — depth-sorted gaussian idx, C = pad
-    chunk_tile: jnp.ndarray  # [I_pad // CHUNK] int32 — tile id per chunk, T = trash
+    chunk_tile: jnp.ndarray  # [I_pad // chunk] int32 — tile id per chunk, T = trash
     tile_counts: jnp.ndarray  # [T] int32 — TRUE (uncapped) instances per tile
     covered: jnp.ndarray  # [T] bool — tile has >= 1 chunk inside the budget
     overflow: jnp.ndarray  # [] int32 — instances dropped by any static cap
@@ -236,7 +237,9 @@ class StreamBinned(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_w", "grid_h", "max_tiles_per_gaussian", "max_instances", "max_stream"),
+    static_argnames=(
+        "grid_w", "grid_h", "max_tiles_per_gaussian", "max_instances", "max_stream", "chunk"
+    ),
 )
 def bin_stream(
     means2d: jnp.ndarray,
@@ -249,9 +252,10 @@ def bin_stream(
     max_tiles_per_gaussian: int = 128,
     max_instances: int = 0,
     max_stream: int = 0,
+    chunk: int = CHUNK,
 ) -> StreamBinned:
     """Bin into the padded-CSR stream layout (no per-tile K cap, no [T, K]
-    table): tile runs live contiguously in one [I_pad] stream at CHUNK-aligned
+    table): tile runs live contiguously in one [I_pad] stream at chunk-aligned
     starts.
 
     The layout is built entirely from SCANS over the tile-sorted instances —
@@ -261,16 +265,20 @@ def bin_stream(
     colliding indices were the dominant binning cost.
 
     Budgets: ``max_instances`` bounds the expansion/sort domain (true
-    instances, 0 = 16*C); ``max_stream`` bounds the CHUNK-padded stream
-    (0 = max_instances + CHUNK * tiles/2 estimate). Instances beyond either
+    instances, 0 = 16*C); ``max_stream`` bounds the chunk-padded stream
+    (0 = max_instances + chunk * tiles/2 estimate). Instances beyond either
     are dropped and counted in ``overflow``.
+
+    ``chunk``: stream layout granularity (rows per compositor chunk). Large
+    scenes use bigger chunks so the kernel's scalar-prefetched chunk->tile map
+    ([I_pad // chunk] int32, SMEM-resident) stays under the ~1MB SMEM budget.
     """
     C = means2d.shape[0]
     T = grid_w * grid_h
     I = max_instances if max_instances > 0 else max(8192, 16 * C)
-    I_pad = max_stream if max_stream > 0 else I + (T // 2 + 256) * CHUNK
-    I_pad = ((I_pad + CHUNK - 1) // CHUNK) * CHUNK
-    G = I_pad // CHUNK
+    I_pad = max_stream if max_stream > 0 else I + (T // 2 + 256) * chunk
+    I_pad = ((I_pad + chunk - 1) // chunk) * chunk
+    G = I_pad // chunk
 
     order, tile_id, gauss_i, cap_overflow, total_raw = _expand_unsorted(
         means2d, depths, radii, include, grid_w, grid_h, max_tiles_per_gaussian, I
@@ -291,7 +299,7 @@ def bin_stream(
     next_b = jax.lax.cummin(jnp.where(boundary, i_iota, I)[::-1])[::-1]
     next_b = jnp.concatenate([next_b[1:], jnp.full(1, I, jnp.int32)])
     run_len = next_b - run_start
-    padded_len = jnp.where(valid, ((run_len + CHUNK - 1) // CHUNK) * CHUNK, 0)
+    padded_len = jnp.where(valid, ((run_len + chunk - 1) // chunk) * chunk, 0)
     # Exclusive cumsum of padded lengths over RUNS, broadcast to elements.
     incr = jnp.where(boundary, padded_len, 0)
     pstart_excl = jnp.cumsum(incr) - incr
@@ -311,13 +319,13 @@ def bin_stream(
     # Chunk -> tile map from the (small) chunk domain: scatter each run's tile
     # at its first chunk, forward-fill by cummax (runs are in ascending tile
     # order), terminate after the last run with the trash tile T.
-    first_chunk = jnp.where(boundary & valid & (pstart_excl < I_pad), pstart_excl // CHUNK, G)
+    first_chunk = jnp.where(boundary & valid & (pstart_excl < I_pad), pstart_excl // chunk, G)
     seeds = jnp.full((G + 1,), -1, jnp.int32).at[first_chunk].max(sorted_tiles, mode="drop")
-    seeds = seeds.at[jnp.minimum(n_padded // CHUNK, G)].max(T)
+    seeds = seeds.at[jnp.minimum(n_padded // chunk, G)].max(T)
     chunk_tile = jnp.where(jax.lax.cummax(seeds[:G]) < 0, T, jax.lax.cummax(seeds[:G]))
 
     # Per-tile diagnostics from the chunk domain (G-sized scatters are cheap).
-    real_per_chunk = jnp.sum((stream_gauss < C).reshape(G, CHUNK), axis=1)
+    real_per_chunk = jnp.sum((stream_gauss < C).reshape(G, chunk), axis=1)
     counts = (
         jnp.zeros((T + 1,), jnp.int32).at[chunk_tile].add(real_per_chunk, mode="drop")[:T]
     )

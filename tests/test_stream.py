@@ -63,6 +63,27 @@ class TestStreamForward:
         np.testing.assert_allclose(img, np.broadcast_to(bg[:, None, None], img.shape), atol=1e-6)
         np.testing.assert_allclose(np.asarray(out["final_T"]), 1.0)
 
+    @pytest.mark.parametrize("chunk", [64, 128])
+    def test_chunk_size_equivalence(self, chunk):
+        """Large scenes run bigger chunks (_auto_chunk keeps the SMEM-resident
+        chunk->tile map bounded); any chunk size must produce the same image
+        and gradients as the default."""
+        cam = make_camera(width=80, height=48)
+        scene = make_scene(192, seed=6, capacity=200)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        big = RenderConfig(use_pallas=True, use_stream=True, chunk=chunk)
+
+        def loss(cfg, off):
+            out = render(cam, scene, cfg, bg_color=bg, screenspace_offset=off)
+            return jnp.sum(out["render"] ** 2), out["render"]
+
+        off = jnp.zeros((scene.capacity, 2))
+        (la, ia), ga = jax.value_and_grad(lambda o: loss(ST_CFG, o), has_aux=True)(off)
+        (lb, ib), gb = jax.value_and_grad(lambda o: loss(big, o), has_aux=True)(off)
+        np.testing.assert_allclose(np.asarray(ib), np.asarray(ia), atol=2e-5)
+        scale = np.abs(np.asarray(ga)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=2e-4 * scale)
+
     def test_budget_overflow_reported_and_finite(self):
         """A starved instance budget must report overflow and still produce a
         finite image (dropped tiles fall back to background)."""
