@@ -96,7 +96,7 @@ def _densified_scene(pcd, n_target, seed=0):
     )
 
 
-def bench_step(scene, cam, extent):
+def bench_step(scene, cam, extent, precision="fp32"):
     """Time ITERS chained train_steps on-device; returns a result dict.
 
     The steps run in ONE on-device fori_loop: the axon tunnel adds ~100ms
@@ -112,7 +112,7 @@ def bench_step(scene, cam, extent):
     from gaussian_transformer_tpu.train.splat import OptConfig, train_step
 
     opt = OptConfig()
-    cfg = RenderConfig(max_per_tile=256)
+    cfg = RenderConfig(max_per_tile=256, precision=precision)
     # Right-size the instance budget to this scene (same policy the trainer
     # applies at startup; binning work is linear in the budget).
     probe = render(cam, scene, cfg)
@@ -153,6 +153,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scale", action="store_true",
                         help="also sweep 200k / 1M Gaussian scenes")
+    parser.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+                        help="compositor property-stream precision (bf16: "
+                        "half the kernel's dominant HBM read, lossy)")
     args = parser.parse_args()
 
     import jax
@@ -166,7 +169,7 @@ def main():
     pcd, center, extent = _base_cloud()
     cam = _camera(center, extent, rng)
 
-    res = bench_step(_table_scene(pcd), cam, extent)
+    res = bench_step(_table_scene(pcd), cam, extent, precision=args.precision)
     pixels_per_s = res["pixels_per_s"]
     print(
         json.dumps(

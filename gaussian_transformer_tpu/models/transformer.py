@@ -78,14 +78,17 @@ class FeedForward(nn.Module):
     d_ff: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.d_ff, kernel_init=XAVIER, dtype=self.dtype, name="w_1")(x)
+        h = nn.Dense(self.d_ff, kernel_init=XAVIER, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="w_1")(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = jax.nn.silu(a) * b  # SwiGLU
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.d_model, kernel_init=XAVIER, dtype=self.dtype, name="w_2")(h)
+        return nn.Dense(self.d_model, kernel_init=XAVIER, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="w_2")(h)
 
 
 class MultiHeadedAttention(nn.Module):
@@ -101,6 +104,14 @@ class MultiHeadedAttention(nn.Module):
     dropout: float = 0.1
     block_k: int = 0
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    # Sequence parallelism: mesh axis name to shard the token axis over; the
+    # attention runs the exact ppermute ring (parallel/ring.py) so no device
+    # ever holds the full K/V sequence. Requires ``mesh``. Train-mode
+    # attention-weight dropout uses the same numerator-masking construction
+    # as the blockwise path (exact torch semantics, different mask stream).
+    ring_axis: Optional[str] = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, deterministic: bool = True):
@@ -109,7 +120,8 @@ class MultiHeadedAttention(nn.Module):
         B = query.shape[0]
 
         def proj(x, name):
-            y = nn.Dense(self.d_model, kernel_init=XAVIER, dtype=self.dtype, name=name)(x)
+            y = nn.Dense(self.d_model, kernel_init=XAVIER, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name=name)(x)
             return y.reshape(B, -1, self.h, d_k).transpose(0, 2, 1, 3)
 
         q = proj(query, "q")
@@ -119,7 +131,19 @@ class MultiHeadedAttention(nn.Module):
         if mask is not None and mask.ndim == 3:
             mask = mask[:, None]  # broadcast over heads
 
-        if self.block_k > 0:
+        if self.ring_axis is not None:
+            from gaussian_transformer_tpu.parallel.ring import ring_attention
+
+            assert self.mesh is not None, "ring_axis requires a mesh"
+            drop_rng = None
+            if not deterministic and self.dropout > 0.0:
+                drop_rng = self.make_rng("dropout")
+            x = ring_attention(
+                q, k, v, mask, self.mesh, axis=self.ring_axis,
+                dropout_rate=0.0 if deterministic else self.dropout,
+                dropout_rng=drop_rng,
+            )
+        elif self.block_k > 0:
             from gaussian_transformer_tpu.ops.attention import blockwise_attention
 
             drop_rng = None
@@ -141,7 +165,8 @@ class MultiHeadedAttention(nn.Module):
             p_attn = nn.Dropout(self.dropout, deterministic=deterministic)(p_attn)
             x = jnp.einsum("bhqk,bhkd->bhqd", p_attn.astype(v.dtype), v)
         x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.h * d_k)
-        return nn.Dense(self.d_model, kernel_init=XAVIER, dtype=self.dtype, name="out")(x)
+        return nn.Dense(self.d_model, kernel_init=XAVIER, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="out")(x)
 
 
 class SublayerConnection(nn.Module):
@@ -160,12 +185,15 @@ class EncoderLayer(nn.Module):
     h: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
     block_k: int = 0
+    ring_axis: Optional[str] = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
-        attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, block_k=self.block_k, dtype=self.dtype, name="self_attn")
-        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, name="feed_forward")
+        attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, block_k=self.block_k, dtype=self.dtype, param_dtype=self.param_dtype, ring_axis=self.ring_axis, mesh=self.mesh, name="self_attn")
+        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, param_dtype=self.param_dtype, name="feed_forward")
         x = SublayerConnection(self.dropout, name="sub0")(
             x, lambda y: attn(y, y, y, mask, deterministic), deterministic
         )
@@ -179,13 +207,16 @@ class DecoderLayer(nn.Module):
     h: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
     block_k: int = 0
+    ring_axis: Optional[str] = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
-        self_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, block_k=self.block_k, dtype=self.dtype, name="self_attn")
-        src_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, block_k=self.block_k, dtype=self.dtype, name="src_attn")
-        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, name="feed_forward")
+        self_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, block_k=self.block_k, dtype=self.dtype, param_dtype=self.param_dtype, ring_axis=self.ring_axis, mesh=self.mesh, name="self_attn")
+        src_attn = MultiHeadedAttention(self.h, self.d_model, self.dropout, block_k=self.block_k, dtype=self.dtype, param_dtype=self.param_dtype, ring_axis=self.ring_axis, mesh=self.mesh, name="src_attn")
+        ff = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, param_dtype=self.param_dtype, name="feed_forward")
         x = SublayerConnection(self.dropout, name="sub0")(
             x, lambda y: self_attn(y, y, y, tgt_mask, deterministic), deterministic
         )
@@ -203,12 +234,17 @@ class Encoder(nn.Module):
     N: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
     block_k: int = 0
+    ring_axis: Optional[str] = None
+    mesh: Any = None
+    ring_axis: Optional[str] = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         for i in range(self.N):
-            x = EncoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, block_k=self.block_k, name=f"layer{i}")(
+            x = EncoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, param_dtype=self.param_dtype, block_k=self.block_k, ring_axis=self.ring_axis, mesh=self.mesh, name=f"layer{i}")(
                 x, mask, deterministic
             )
         return TorchLayerNorm(name="norm")(x)
@@ -220,12 +256,17 @@ class Decoder(nn.Module):
     N: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
     block_k: int = 0
+    ring_axis: Optional[str] = None
+    mesh: Any = None
+    ring_axis: Optional[str] = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
         for i in range(self.N):
-            x = DecoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, block_k=self.block_k, name=f"layer{i}")(
+            x = DecoderLayer(self.d_model, self.h, self.dropout, dtype=self.dtype, param_dtype=self.param_dtype, block_k=self.block_k, ring_axis=self.ring_axis, mesh=self.mesh, name=f"layer{i}")(
                 x, memory, src_mask, tgt_mask, deterministic
             )
         return TorchLayerNorm(name="norm")(x)
@@ -242,15 +283,19 @@ class EncoderDecoder(nn.Module):
     h: int = 8
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
     # > 0: blockwise (flash-style) attention with this key-block size — the
     # long-sequence lever; 0: dense reference attention.
     block_k: int = 0
+    # Sequence parallelism: mesh axis for ring attention (parallel/ring.py).
+    ring_axis: Optional[str] = None
+    mesh: Any = None
 
     def setup(self):
-        self.encoder = Encoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype, block_k=self.block_k)
-        self.decoder = Decoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype, block_k=self.block_k)
-        self.src_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype)
-        self.tgt_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype)
+        self.encoder = Encoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype, param_dtype=self.param_dtype, block_k=self.block_k, ring_axis=self.ring_axis, mesh=self.mesh)
+        self.decoder = Decoder(self.d_model, self.h, self.N, self.dropout, dtype=self.dtype, param_dtype=self.param_dtype, block_k=self.block_k, ring_axis=self.ring_axis, mesh=self.mesh)
+        self.src_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.tgt_embed = FeedForward(self.d_model, 2 * self.d_model, self.dropout, dtype=self.dtype, param_dtype=self.param_dtype)
         # Generator output stays float32 (regression head).
         self.generator_proj = nn.Dense(self.tgt_g_len, kernel_init=XAVIER)
 
@@ -280,16 +325,22 @@ def make_model(
     h: int = 8,
     dropout: float = 0.1,
     dtype: Any = jnp.float32,
+    param_dtype: Any = jnp.float32,
     block_k: int = 0,
+    ring_axis: Optional[str] = None,
+    mesh: Any = None,
 ) -> EncoderDecoder:
     """Construct the model (model/model.py:46-65; ``stacking`` is part of the
     reference signature but unused in construction there too). ``dtype=bf16``
-    enables mixed precision (fp32 params, bf16 matmuls) — the TPU analog of
-    the reference's ``model.half()``."""
+    enables mixed precision (fp32 params, bf16 matmuls); ``param_dtype=bf16``
+    additionally halves parameter/optimizer-state memory — together the TPU
+    analog of the reference's ``model.half()`` (train_transformer.py:313),
+    needed to fit the full-size stacked model (1.9B params) on one chip."""
     del stacking
     return EncoderDecoder(
         src_g_len=src_g_len, tgt_g_len=tgt_g_len, N=N, d_model=d_model, h=h,
-        dropout=dropout, dtype=dtype, block_k=block_k,
+        dropout=dropout, dtype=dtype, param_dtype=param_dtype, block_k=block_k,
+        ring_axis=ring_axis, mesh=mesh,
     )
 
 

@@ -60,8 +60,28 @@ from gaussian_transformer_tpu.render.pallas_composite import (
 P = TILE * TILE
 
 
+def _local_pixel_coords():
+    """Tile-LOCAL pixel centers [1, P] (0..TILE-1 each axis) — the bf16 path
+    stores tile-local splat means so 8 mantissa bits cover the coordinate
+    range; the fp32 path keeps the global frame (bit-stable with the XLA
+    golden)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    return (p % TILE).astype(jnp.float32), (p // TILE).astype(jnp.float32)
+
+
+def _localize_props(props, chunk_tile, grid_w, chunk):
+    """Shift x/y rows into their tile's local frame (exact: origins are
+    multiples of TILE). Gradient-transparent — translation only."""
+    row_tile = jnp.repeat(chunk_tile, chunk)  # [I_pad]
+    ox = (row_tile % grid_w).astype(props.dtype) * TILE
+    oy = (row_tile // grid_w).astype(props.dtype) * TILE
+    return props.at[:, 0].add(-ox).at[:, 1].add(-oy)
+
+
 def _alpha_math(blk, px, py):
-    """Shared fwd/bwd alpha evaluation for one [chunk, 16] property block."""
+    """Shared fwd/bwd alpha evaluation for one [chunk, 16] property block.
+    Accepts fp32 or bf16 blocks; all math runs fp32 (bf16 saves the DMA)."""
+    blk = blk.astype(jnp.float32)
     x = blk[:, 0:1]
     y = blk[:, 1:2]
     a = blk[:, 2:3]
@@ -80,7 +100,7 @@ def _alpha_math(blk, px, py):
     return alpha, alpha_raw, rgb, dx, dy, a, b, c, opac
 
 
-def _fwd_kernel(chunk_tile_ref, props_ref, color_ref, t_ref, live_ref, *, grid_w):
+def _fwd_kernel(chunk_tile_ref, props_ref, color_ref, t_ref, live_ref, *, grid_w, local_coords=False):
     g = pl.program_id(0)
     t = chunk_tile_ref[g]
     prev = chunk_tile_ref[jnp.maximum(g - 1, 0)]
@@ -99,7 +119,7 @@ def _fwd_kernel(chunk_tile_ref, props_ref, color_ref, t_ref, live_ref, *, grid_w
     # this tile cannot contribute (their DMA still streams, compute is skipped).
     @pl.when(jnp.max(t_run * live) >= 1e-4)
     def _():
-        px, py = _pixel_coords(t, grid_w)
+        px, py = _local_pixel_coords() if local_coords else _pixel_coords(t, grid_w)
         alpha, _, rgb, *_ = _alpha_math(props_ref[:], px, py)
 
         t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
@@ -119,7 +139,7 @@ def _fwd_kernel(chunk_tile_ref, props_ref, color_ref, t_ref, live_ref, *, grid_w
 
 def _bwd_kernel(
     chunk_tile_ref, props_ref, color_ref, final_t_ref, g_color_ref, g_t_ref,
-    dprops_ref, pref_ref, t_scr, live_scr, *, grid_w,
+    dprops_ref, pref_ref, t_scr, live_scr, *, grid_w, local_coords=False,
 ):
     """Replay one chunk and emit its per-instance grads (math identical to
     pallas_composite._bwd_one_tile, carried across programs via scratch)."""
@@ -140,7 +160,7 @@ def _bwd_kernel(
 
     @pl.when(active)
     def _():
-        px, py = _pixel_coords(t, grid_w)
+        px, py = _local_pixel_coords() if local_coords else _pixel_coords(t, grid_w)
         alpha, alpha_raw, rgb, dx, dy, a, b, c, opac = _alpha_math(props_ref[:], px, py)
         g_color = g_color_ref[0]  # [3, P]
         g_t = g_t_ref[0]  # [1, P]
@@ -216,6 +236,7 @@ def stream_image(
     *,
     grid_w: int,
     grid_h: int,
+    precision: str = "fp32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render the padded image [3, H_pad, W_pad] + transmittance map from the
     instance stream (drop-in for pallas_composite.composite_image_pallas)."""
@@ -223,7 +244,7 @@ def stream_image(
     props_full = pack_props(means2d_s, conics_s, rgbs_s, opac_s)  # [C+1, 16]
     props = props_full[binned.stream_gauss]  # [I_pad, 16]; autodiff -> segment add
     color, final_t = _composite_stream_tiles(
-        props, binned.chunk_tile, grid_w, grid_h
+        props, binned.chunk_tile, grid_w, grid_h, precision
     )
     # Tiles no chunk ever wrote (empty, or fully beyond the instance budget)
     # hold garbage: background them.
@@ -239,20 +260,33 @@ def stream_image(
     return img, t_map
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _composite_stream_tiles(props, chunk_tile, grid_w, grid_h):
-    """(color [T, 3, P], final_T [T, 1, P]) pre-background."""
-    out = _run_fwd(props, chunk_tile, grid_w, grid_h)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _composite_stream_tiles(props, chunk_tile, grid_w, grid_h, precision="fp32"):
+    """(color [T, 3, P], final_T [T, 1, P]) pre-background.
+
+    ``precision="bf16"`` streams the property rows as bf16 (half the DMA
+    bytes for the kernel's dominant read) with tile-local means so the 8-bit
+    mantissa covers the coordinate range; all in-kernel math and the
+    color/transmittance accumulators stay fp32. Documented numerics delta:
+    property quantization perturbs alpha by O(1e-2) relative."""
+    out = _run_fwd(props, chunk_tile, grid_w, grid_h, precision)
     return out[0], out[1]
 
 
-def _run_fwd(props, chunk_tile, grid_w, grid_h):
+def _kernel_props(props, chunk_tile, grid_w, chunk, precision):
+    if precision == "bf16":
+        return _localize_props(props, chunk_tile, grid_w, chunk).astype(jnp.bfloat16)
+    return props
+
+
+def _run_fwd(props, chunk_tile, grid_w, grid_h, precision="fp32"):
     I_pad, F = props.shape
     G = chunk_tile.shape[0]
     chunk = I_pad // G
     T = grid_w * grid_h
     assert F == PROPS_F and I_pad == G * chunk and chunk % CH == 0
-    kernel = functools.partial(_fwd_kernel, grid_w=grid_w)
+    props = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
+    kernel = functools.partial(_fwd_kernel, grid_w=grid_w, local_coords=precision == "bf16")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
@@ -277,24 +311,25 @@ def _run_fwd(props, chunk_tile, grid_w, grid_h):
     return color[:T], final_t[:T]
 
 
-def _stream_fwd_rule(props, chunk_tile, grid_w, grid_h):
-    color, final_t = _composite_stream_tiles(props, chunk_tile, grid_w, grid_h)
+def _stream_fwd_rule(props, chunk_tile, grid_w, grid_h, precision="fp32"):
+    color, final_t = _composite_stream_tiles(props, chunk_tile, grid_w, grid_h, precision)
     return (color, final_t), (props, chunk_tile, color, final_t)
 
 
-def _stream_bwd_rule(grid_w, grid_h, residuals, cotangents):
+def _stream_bwd_rule(grid_w, grid_h, precision, residuals, cotangents):
     props, chunk_tile, color, final_t = residuals
     g_color, g_t = cotangents
     I_pad, F = props.shape
     G = chunk_tile.shape[0]
     chunk = I_pad // G
     T = grid_w * grid_h
+    props = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
     # Trash row for the sentinel tile id T in the residual/cotangent tables.
     pad1 = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
     color_p, final_t_p = pad1(color), pad1(final_t)
     g_color_p, g_t_p = pad1(g_color), pad1(g_t)
 
-    kernel = functools.partial(_bwd_kernel, grid_w=grid_w)
+    kernel = functools.partial(_bwd_kernel, grid_w=grid_w, local_coords=precision == "bf16")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),

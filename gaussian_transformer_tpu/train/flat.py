@@ -57,11 +57,20 @@ class EmbeddedEncoderDecoder(nn.Module):
     h: int = 8
     dropout: float = 0.1
     block_k: int = 0  # > 0: blockwise attention for long visible-set sequences
+    # Sequence parallelism: mesh axis name + mesh for exact ring attention
+    # (parallel/ring.py) — shards the token axis over devices so no chip ever
+    # holds the full K/V sequence (the >=32k-token lever).
+    ring_axis: Optional[str] = None
+    mesh: object = None
 
     def setup(self):
         self.embed_in_src = nn.Dense(self.d_model)
         self.embed_in_tgt = nn.Dense(self.d_model)
-        self.core = make_model(0, self.d_model, self.d_model, self.N, self.d_model, self.h, self.dropout, block_k=self.block_k)
+        self.core = make_model(
+            0, self.d_model, self.d_model, self.N, self.d_model, self.h,
+            self.dropout, block_k=self.block_k, ring_axis=self.ring_axis,
+            mesh=self.mesh,
+        )
         self.out_proj = nn.Dense(TOKEN_DIM)
 
     def encode(self, src, src_mask, deterministic=True):
@@ -157,6 +166,11 @@ class FlatTrainingScene:
             seq = [start[None], rows] + ([end[None]] if trailing_end else [])
             arr = np.concatenate(seq, axis=0)
             want = ((len(arr) + self.bucket - 1) // self.bucket) * self.bucket
+            if trailing_end:
+                # Decoder sequence pads to bucket+1 so trg = arr[:-1] and
+                # trg_y = arr[1:] stay bucket-divisible (ring attention shards
+                # the token axis and needs the length to divide the mesh).
+                want += 1
             return np.concatenate([arr, np.tile(pad, (want - len(arr), 1))], axis=0)
 
         src = jnp.asarray(build(src_real, False)[None])

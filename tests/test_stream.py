@@ -201,3 +201,42 @@ class TestStreamGradients:
             a, b = np.asarray(a), np.asarray(b)
             scale = np.abs(a).max() + 1e-8
             np.testing.assert_allclose(b, a, atol=5e-4 * scale)
+
+
+class TestBF16Stream:
+    """precision="bf16" property streaming: tile-local means + bf16 rows +
+    fp32 accumulation. Gated as a documented LOSSY mode: image within
+    quantization tolerance of fp32 (high PSNR), gradients within a few
+    percent — regressions in the localization or dtype plumbing show up as
+    gross errors, not tolerance drift."""
+
+    BF_CFG = RenderConfig(use_pallas=True, use_stream=True, precision="bf16")
+
+    def test_image_close_to_fp32(self):
+        from gaussian_transformer_tpu.utils.image import psnr
+
+        cam = make_camera(width=80, height=48)
+        scene = make_scene(192, seed=9, capacity=200)
+        bg = jnp.array([0.2, 0.1, 0.3])
+        a = render(cam, scene, ST_CFG, bg_color=bg)["render"]
+        b = render(cam, scene, self.BF_CFG, bg_color=bg)["render"]
+        a, b = jnp.clip(a, 0, 1), jnp.clip(b, 0, 1)
+        assert float(jnp.mean(psnr(b, a))) > 40.0
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0.03)
+
+    def test_grads_close_to_fp32(self):
+        cam = make_camera(width=48, height=32)
+        scene = make_scene(96, seed=10)
+        bg = jnp.zeros(3)
+        helper = TestStreamGradients()
+        ga = helper._grads(ST_CFG, scene, cam, bg)
+        gb = helper._grads(self.BF_CFG, scene, cam, bg)
+        for name, a, b in zip(["xyz", "opacity", "scaling", "features_dc", "offset"], ga, gb):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.all(np.isfinite(b)), name
+            # Per-element alpha quantization (8-bit mantissa props) puts a
+            # few grad elements near 10% relative; the bulk sits under 5%.
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b, a, atol=0.12 * scale, err_msg=name)
+            frac_tight = np.mean(np.abs(b - a) <= 0.05 * scale)
+            assert frac_tight > 0.97, f"{name}: {frac_tight:.3f} within 5%"

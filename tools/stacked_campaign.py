@@ -1,0 +1,222 @@
+"""Full-scale stacked-transformer training campaign on one TPU chip.
+
+Runs the reference's flagship configuration — STACK=8, d_model = 26*2^8 =
+6656, N=2 (~1.9B params; /root/reference/train_stacked_transformer.py:363-364)
+— end to end on the bundled table_ds point cloud, and records a loss curve
+over >= 1000 optimizer steps plus a final checkpoint.
+
+The memory plan for 16 GB HBM (v5 lite), documented here because it IS the
+deliverable:
+  * params + grads in bf16 (``param_dtype=bf16`` — the TPU analog of the
+    reference's fp16 ``model.half()``, train_transformer.py:313):
+    2 x 3.8 GB instead of 2 x 7.6 GB;
+  * Adafactor (factored second moment, no momentum) instead of Adam: KBs of
+    optimizer state instead of 15.2 GB. Adam remains the default recipe at
+    smaller scales (train_stacked_transformer.py CLI) and shards over a mesh
+    via parallel/mesh for multi-chip runs;
+  * the greedy-decode scan already rematerializes each step
+    (train/stacked.greedy_decode @jax.checkpoint), so live activations are
+    one decoder forward, not max_len of them;
+  * ONE bucket shape (``--bucket 96`` fat tokens) so the 1.9B-param loss
+    compiles exactly once.
+
+Usage:
+  python tools/stacked_campaign.py                 # full scale, >=1000 steps
+  python tools/stacked_campaign.py --smoke         # tiny model, CPU-friendly
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_scene_stub(n_cams=32, width=320, height=240):
+    """table_ds point cloud as a trained-scene stand-in + a camera ring
+    (cameras carry no GT images — the stacked loss renders its own targets)."""
+    import jax.numpy as jnp
+
+    from gaussian_transformer_tpu.scene.cameras import Camera
+    from gaussian_transformer_tpu.scene.gaussians import GaussianScene
+    from gaussian_transformer_tpu.scene.ply import fetch_point_cloud
+
+    pcd = fetch_point_cloud("/root/reference/table_ds/sparse/0/points3D.ply")
+    gaussians = GaussianScene.from_pcd(pcd, max_sh_degree=1)
+    center = pcd.points.mean(0)
+    extent = float(np.abs(pcd.points - center).max())
+
+    cams = []
+    for i in range(n_cams):
+        ang = 2 * math.pi * i / n_cams
+        Rw2c = np.array(
+            [
+                [math.cos(ang), 0, -math.sin(ang)],
+                [0, 1, 0],
+                [math.sin(ang), 0, math.cos(ang)],
+            ]
+        )
+        t = np.asarray(-Rw2c @ center + np.array([0, 0, extent * 2.0]))
+        cams.append(
+            Camera.create(
+                colmap_id=i, R=Rw2c.T, T=t, fovx=math.radians(70),
+                fovy=math.radians(70 * height / width), image=None,
+                gt_alpha_mask=None, image_name=f"cam{i}", uid=i,
+                width=width, height=height,
+            )
+        )
+
+    class SceneStub:
+        def __init__(self):
+            self.gaussians = gaussians
+            self.model_path = "logs/stacked_campaign"
+
+        def get_train_cameras(self, scale=1.0):
+            return cams
+
+    return SceneStub()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true", help="tiny model on CPU")
+    parser.add_argument("--steps", type=int, default=1200)
+    parser.add_argument("--bucket", type=int, default=96)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--out", default="logs/stacked_campaign")
+    args = parser.parse_args()
+
+    if args.smoke:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+
+    if args.smoke or os.environ.get("GT_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ.get("GT_PLATFORM", "cpu"))
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    import jax.numpy as jnp
+    import optax
+
+    from gaussian_transformer_tpu.models.transformer import make_model, init_model
+    from gaussian_transformer_tpu.render import RenderConfig
+    from gaussian_transformer_tpu.train.stacked import (
+        ReduceLROnPlateau,
+        TrainingScene,
+        make_train_step,
+        save_checkpoint,
+        stacked_token_dim,
+    )
+
+    stack = 4 if args.smoke else 8
+    layers = 2
+    D = stacked_token_dim(stack)  # 26 * 2^stack; full scale: 6656
+    steps_target = 30 if args.smoke else args.steps
+
+    scene_obj = build_scene_stub(
+        n_cams=8 if args.smoke else 32,
+        width=160 if args.smoke else 320,
+        height=120 if args.smoke else 240,
+    )
+    # Pallas interprets (slowly) on CPU — smoke runs use the XLA compositor.
+    render_cfg = RenderConfig(use_pallas=not args.smoke)
+    tscene = TrainingScene(
+        scene_obj, render_cfg, batch_size=args.batch_size, stack=stack,
+        bucket=8 if args.smoke else args.bucket,
+    )
+    print(f"scene: {tscene.n_alive} gaussians, {tscene.size} cameras, "
+          f"D={D}, N={layers}, stack={stack}")
+
+    model = make_model(
+        stack, D, D, N=layers, d_model=D,
+        dtype=jnp.bfloat16, param_dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+    )
+    params = init_model(model, jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"params: {n_params/1e9:.2f}B ({n_params * (2 if not args.smoke else 4)/1e9:.1f} GB)")
+
+    optimizer = optax.adafactor(learning_rate=1.0, min_dim_size_to_factor=128)
+    opt_state = optimizer.init(params)
+    scheduler = ReduceLROnPlateau(lr=args.lr)
+    step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, stack)
+    drop_base = jax.random.PRNGKey(42)
+
+    os.makedirs(args.out, exist_ok=True)
+    csv_path = os.path.join(args.out, "loss_curve.csv")
+    csv = open(csv_path, "a" if os.path.exists(csv_path) else "w")
+    if csv.tell() == 0:
+        csv.write("step,epoch,loss_per_token,chamfer,ms\n")
+
+    global_step = 0
+    epoch = 0
+    t_compile = None
+    while global_step < steps_target:
+        tscene.set_epoch(epoch)
+        total_loss, total_tokens = 0.0, 0
+        for batch in tscene.batches():
+            if batch is None:
+                continue
+            t0 = time.time()
+            params, opt_state, loss, metrics = step_fn(
+                params, opt_state, batch.src, batch.trg_y, batch.cameras,
+                jnp.asarray(scheduler.lr), batch.src_mask,
+                jax.random.fold_in(drop_base, global_step),
+            )
+            loss = float(loss)
+            chamfer = float(metrics["chamfer"])
+            dt = (time.time() - t0) * 1e3
+            if t_compile is None:
+                t_compile = dt
+                print(f"first step (compile): {dt/1e3:.0f}s")
+                try:
+                    ms = jax.devices()[0].memory_stats() or {}
+                    print(f"HBM in use: {ms.get('bytes_in_use', 0)/1e9:.1f} GB "
+                          f"peak {ms.get('peak_bytes_in_use', 0)/1e9:.1f} GB")
+                except Exception:
+                    pass
+            assert np.isfinite(loss), f"non-finite loss at step {global_step}"
+            total_loss += loss
+            total_tokens += batch.ntokens
+            global_step += 1
+            csv.write(f"{global_step},{epoch},{loss/max(batch.ntokens,1):.6f},"
+                      f"{chamfer:.6f},{dt:.0f}\n")
+            if global_step % 25 == 0:
+                csv.flush()
+                print(f"step {global_step} chamfer {chamfer:.4f} "
+                      f"loss/token {loss/max(batch.ntokens,1):.4f} {dt:.0f}ms", flush=True)
+            if global_step >= steps_target:
+                break
+        epoch_loss = total_loss / max(total_tokens, 1)
+        scheduler.step(epoch_loss)
+        epoch += 1
+    csv.close()
+
+    save_checkpoint(args.out, epoch, params, opt_state)
+    print(f"saved checkpoint_{epoch} under {args.out}")
+
+    # Summarize the curve for the committed run log.
+    rows = np.genfromtxt(csv_path, delimiter=",", names=True)
+    cham = np.asarray(rows["chamfer"], np.float64)
+    k = max(len(cham) // 12, 1)
+    with open(os.path.join(args.out, "RUN.md"), "w") as f:
+        f.write("# Full-scale stacked campaign\n\n")
+        f.write(f"STACK={stack} d_model={D} N={layers} params={n_params/1e9:.2f}B "
+                f"(bf16 params, Adafactor, decode-scan remat) — "
+                f"{len(cham)} steps on {jax.devices()[0].device_kind}\n\n")
+        f.write("| step | chamfer (mean over window) |\n|---|---|\n")
+        for i in range(0, len(cham), k):
+            f.write(f"| {int(rows['step'][i])} | {np.mean(cham[i:i+k]):.4f} |\n")
+        first, last = np.mean(cham[:k]), np.mean(cham[-k:])
+        f.write(f"\nchamfer first-window {first:.4f} -> last-window {last:.4f}\n")
+        print(f"chamfer {first:.4f} -> {last:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,11 @@ def main():
         "--attn_block_k", type=int, default=0,
         help="key-block size for blockwise (flash-style) attention; 0 = dense",
     )
+    parser.add_argument(
+        "--seq_shard", type=int, default=0,
+        help="shard the token axis over this many devices with exact ring "
+        "attention (parallel/ring.py); sequence lengths must divide it. 0 = off",
+    )
     args = parser.parse_args(sys.argv[1:])
     print("Optimizing " + args.model_path)
     # Platform override that works even where PJRT plugins ignore
@@ -67,7 +72,20 @@ def main():
     tscene = FlatTrainingScene(scene, render_cfg, max_len=args.max_len)
     assert tscene.size > 0, "no cameras within the visible-count window"
 
-    model = EmbeddedEncoderDecoder(N=args.layers, d_model=args.d_model, block_k=args.attn_block_k)
+    ring_axis, mesh = None, None
+    if args.seq_shard > 1:
+        from gaussian_transformer_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.seq_shard], data=1)
+        ring_axis = "gauss"
+        # Bucket padding must keep sequence lengths divisible by the axis.
+        assert tscene.bucket % args.seq_shard == 0, (
+            f"bucket {tscene.bucket} not divisible by seq_shard {args.seq_shard}"
+        )
+    model = EmbeddedEncoderDecoder(
+        N=args.layers, d_model=args.d_model, block_k=args.attn_block_k,
+        ring_axis=ring_axis, mesh=mesh,
+    )
     params = init_flat_model(model, jax.random.PRNGKey(0))
     optimizer = make_noam_adamax(args.d_model)
     opt_state = optimizer.init(params)
