@@ -75,4 +75,10 @@ def chamfer_distance(a, b, a_valid=None, b_valid=None, block: int = 512):
         d2 = jnp.sum((b1 - a1[idx2]) ** 2, axis=-1) * bv.astype(b1.dtype)
         return d1, d2, idx1, idx2
 
-    return jax.vmap(one)(a, b, a_valid, b_valid)
+    # Unrolled over the (small) batch instead of vmap: vmapping the matched-
+    # pair re-gather makes its backward a BATCHED scatter-add
+    # (input_batching_dims), which crashes the TPU backend's scatter fusion
+    # pass (SortedScatterEmitter bad_optional_access abort, observed on
+    # v5 lite); the unbatched scatter compiles fine.
+    outs = [one(a[i], b[i], a_valid[i], b_valid[i]) for i in range(a.shape[0])]
+    return tuple(jnp.stack(parts) for parts in zip(*outs))

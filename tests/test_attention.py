@@ -136,3 +136,58 @@ class TestRing:
         ref = reference_attention(q, k, v, mask)
         out = ring_attention(q, k, v, mask, mesh, axis="gauss")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+class TestUlysses:
+    """All-to-all head-sharded sequence parallelism (parallel/ulysses.py) —
+    must be EXACT vs the O(L^2) reference (dense math per head group)."""
+
+    def _mesh(self, n):
+        from gaussian_transformer_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if len(devices) < n:
+            pytest.skip(f"needs {n} virtual devices")
+        return make_mesh(devices[:n], data=1)
+
+    def test_matches_reference_unmasked(self):
+        from gaussian_transformer_tpu.parallel.ulysses import ulysses_attention
+
+        mesh = self._mesh(4)
+        rng = np.random.RandomState(11)
+        q, k, v = rand_qkv(rng, B=2, H=4, Lq=32, Lk=32, D=8)
+        ref = reference_attention(q, k, v)
+        out = ulysses_attention(q, k, v, None, mesh, axis="gauss")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_with_causal_mask_and_grads(self):
+        from gaussian_transformer_tpu.parallel.ulysses import ulysses_attention
+
+        mesh = self._mesh(4)
+        rng = np.random.RandomState(12)
+        L = 32
+        q, k, v = rand_qkv(rng, B=1, H=4, Lq=L, Lk=L, D=8)
+        mask = jnp.asarray(np.tril(np.ones((L, L), bool)))[None, None]
+
+        def f_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v, mask) ** 2)
+
+        def f_uly(q, k, v):
+            return jnp.sum(ulysses_attention(q, k, v, mask, mesh) ** 2)
+
+        ga = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        gb = jax.grad(f_uly, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+    def test_per_head_mask(self):
+        from gaussian_transformer_tpu.parallel.ulysses import ulysses_attention
+
+        mesh = self._mesh(4)
+        rng = np.random.RandomState(13)
+        L, H = 16, 8
+        q, k, v = rand_qkv(rng, B=1, H=H, Lq=L, Lk=L, D=8)
+        mask = jnp.asarray(rng.rand(1, H, L, L) > 0.3)
+        ref = reference_attention(q, k, v, mask)
+        out = ulysses_attention(q, k, v, mask, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -192,3 +192,49 @@ class TestViewerProtocol:
         arr = np.frombuffer(result["img"], np.uint8).reshape(H, W, 3)
         np.testing.assert_array_equal(arr[0, 0], [63, 127, 191])
         assert result["verify"] == "/scene/path"
+
+
+class TestOrbaxCheckpoint:
+    """Async Orbax checkpointing (train/orbax_ckpt.py) — roundtrip, history
+    retention, and latest-step discovery."""
+
+    def test_roundtrip_and_retention(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        if not orbax_ckpt.available():
+            import pytest
+
+            pytest.skip("orbax not installed")
+        tree = {
+            "params": {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones(4)},
+            "count": jnp.asarray(7),
+        }
+        mgr = orbax_ckpt.make_manager(str(tmp_path), max_to_keep=2)
+        for step in (1, 2, 3):
+            orbax_ckpt.save(mgr, step, jax.tree.map(lambda a: a + step, tree))
+        mgr.wait_until_finished()
+        assert mgr.latest_step() == 3
+        # Bounded history: step 1 evicted.
+        assert 1 not in mgr.all_steps()
+
+        restored = orbax_ckpt.restore(mgr, tree)
+        np.testing.assert_allclose(
+            np.asarray(restored["params"]["w"]),
+            np.asarray(tree["params"]["w"]) + 3,
+        )
+        assert int(restored["count"]) == 10
+        mgr.close()
+
+    def test_restore_empty_returns_none(self, tmp_path):
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        if not orbax_ckpt.available():
+            import pytest
+
+            pytest.skip("orbax not installed")
+        mgr = orbax_ckpt.make_manager(str(tmp_path))
+        assert orbax_ckpt.restore(mgr, {"x": np.zeros(2)}) is None
+        mgr.close()
