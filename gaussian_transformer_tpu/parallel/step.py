@@ -46,9 +46,18 @@ def stack_cameras(cams):
     return c0.replace(**batched)
 
 
-def make_sharded_train_step(opt, render_cfg):
+def make_sharded_train_step(opt, render_cfg, mesh=None, tile_axis=None):
     """Build the jitted batched train step. ``opt``/``render_cfg`` are baked in
-    as static; shardings follow the (committed) input shardings."""
+    as static; shardings follow the (committed) input shardings.
+
+    ``tile_axis``: when set (with ``mesh``), compositing work and its backward
+    are explicitly sharded over that mesh axis via shard_map
+    (parallel/tile_shard.py) instead of leaving the instance stream to the
+    SPMD partitioner; cameras then run in an unrolled Python loop because
+    shard_map does not vmap."""
+    if tile_axis is not None:
+        assert mesh is not None, "tile_axis requires a mesh"
+        from gaussian_transformer_tpu.parallel.tile_shard import render_tile_sharded
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(scene, adam, stats, cams, bg, iteration, spatial_lr_scale):
@@ -60,14 +69,30 @@ def make_sharded_train_step(opt, render_cfg):
             s = scene.replace(**params)
 
             def one(cam, off):
-                out = render(cam, s, render_cfg, bg_color=bg, screenspace_offset=off)
+                if tile_axis is not None:
+                    out = render_tile_sharded(
+                        cam, s, render_cfg, mesh, bg_color=bg,
+                        axis=tile_axis, screenspace_offset=off,
+                    )
+                else:
+                    out = render(cam, s, render_cfg, bg_color=bg, screenspace_offset=off)
                 img = out["render"]
                 gt = cam.original_image
                 l1 = l1_loss(img, gt)
                 loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim(img, gt))
                 return loss, (out["visibility_filter"], out["radii"], l1)
 
-            losses, (vis, radii, l1s) = jax.vmap(one)(cams, offsets)
+            if tile_axis is None:
+                losses, (vis, radii, l1s) = jax.vmap(one)(cams, offsets)
+            else:
+                outs = [
+                    one(jax.tree.map(lambda a, i=i: a[i], cams), offsets[i])
+                    for i in range(B)
+                ]
+                losses = jnp.stack([o[0] for o in outs])
+                vis = jnp.stack([o[1][0] for o in outs])
+                radii = jnp.stack([o[1][1] for o in outs])
+                l1s = jnp.stack([o[1][2] for o in outs])
             return jnp.mean(losses), (vis, radii, jnp.mean(l1s))
 
         (loss, (vis, radii, l1)), (gparams, goffsets) = jax.value_and_grad(

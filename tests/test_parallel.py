@@ -284,3 +284,39 @@ class TestTileShardedCompositing:
             assert np.all(np.isfinite(b)), name
             scale = np.abs(a).max() + 1e-8
             np.testing.assert_allclose(b, a, atol=1e-3 * scale, err_msg=name)
+
+    def test_train_step_matches_unsharded(self):
+        """make_sharded_train_step(tile_axis=...) — full batched step with
+        tile-sharded compositing matches the plain SPMD step (scene update,
+        densify stats, loss) within the per-shard early-termination bound."""
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual devices")
+        opt = OptConfig()
+        cfg = RenderConfig(use_pallas=True, use_stream=True)
+        bg = jnp.zeros(3)
+
+        def run(step, mesh=None):
+            scene, cams = _setup()
+            batch = stack_cameras(cams)
+            if mesh is not None:
+                scene = shard_scene(scene, mesh)
+                batch = jax.device_put(batch, camera_batch_sharding(mesh))
+            return step(
+                scene, AdamState.init(scene), DensifyStats.init(scene.capacity),
+                batch, bg, jnp.asarray(1.0), jnp.asarray(1.0),
+            )
+
+        s1, _, st1, m1 = run(make_sharded_train_step(opt, cfg))
+        mesh = make_mesh(devices[:8], data=1)
+        s2, _, st2, m2 = run(
+            make_sharded_train_step(opt, cfg, mesh=mesh, tile_axis="gauss"), mesh
+        )
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-3)
+        np.testing.assert_allclose(np.asarray(s2.xyz), np.asarray(s1.xyz), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st2.xyz_gradient_accum),
+            np.asarray(st1.xyz_gradient_accum),
+            atol=1e-4,
+        )

@@ -37,6 +37,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def write_report(out_dir: str, meta: dict) -> None:
+    """RUN.md from the loss-curve CSV: windowed chamfer table + first/last
+    window means. Standalone so an interrupted campaign can still produce the
+    committed run log (``--report-only``)."""
+    csv_path = os.path.join(out_dir, "loss_curve.csv")
+    rows = np.genfromtxt(csv_path, delimiter=",", names=True)
+    cham = np.atleast_1d(np.asarray(rows["chamfer"], np.float64))
+    steps = np.atleast_1d(np.asarray(rows["step"], np.int64))
+    ms = np.atleast_1d(np.asarray(rows["ms"], np.float64))
+    k = max(len(cham) // 12, 1)
+    with open(os.path.join(out_dir, "RUN.md"), "w") as f:
+        f.write("# Full-scale stacked campaign\n\n")
+        f.write(
+            f"STACK={meta['stack']} d_model={meta['d_model']} N={meta['layers']} "
+            f"params={meta['n_params']/1e9:.2f}B (bf16 params, Adafactor, "
+            f"decode-scan remat) — {len(cham)} steps on {meta['device']}; "
+            f"median {np.median(ms[4:] if len(ms) > 8 else ms):.0f} ms/step\n\n"
+        )
+        f.write("| step | chamfer (mean over window) |\n|---|---|\n")
+        for i in range(0, len(cham), k):
+            f.write(f"| {int(steps[i])} | {np.mean(cham[i:i+k]):.4f} |\n")
+        first, last = np.mean(cham[:k]), np.mean(cham[-k:])
+        f.write(f"\nchamfer first-window {first:.4f} -> last-window {last:.4f}\n")
+        print(f"chamfer {first:.4f} -> {last:.4f} over {len(cham)} steps")
+
+
 def build_scene_stub(n_cams=32, width=320, height=240):
     """table_ds point cloud as a trained-scene stand-in + a camera ring
     (cameras carry no GT images — the stacked loss renders its own targets)."""
@@ -90,7 +116,18 @@ def main():
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--lr", type=float, default=5e-4)
     parser.add_argument("--out", default="logs/stacked_campaign")
+    parser.add_argument("--ckpt_every", type=int, default=150,
+                        help="periodic checkpoint cadence (steps)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint_* in --out")
+    parser.add_argument("--report-only", action="store_true",
+                        help="regenerate RUN.md from the existing loss curve")
     args = parser.parse_args()
+
+    if args.report_only:
+        with open(os.path.join(args.out, "meta.json")) as f:
+            write_report(args.out, json.load(f))
+        return
 
     if args.smoke:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -149,15 +186,39 @@ def main():
     drop_base = jax.random.PRNGKey(42)
 
     os.makedirs(args.out, exist_ok=True)
+    meta = {
+        "stack": stack, "d_model": D, "layers": layers, "n_params": n_params,
+        "device": jax.devices()[0].device_kind,
+    }
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump(meta, f)
     csv_path = os.path.join(args.out, "loss_curve.csv")
+
+    global_step = 0
+    epoch = 0
+    if args.resume:
+        from gaussian_transformer_tpu.train.stacked import load_checkpoint
+
+        tags = [d.split("_step")[1] for d in os.listdir(args.out)
+                if d.startswith("checkpoint_step")]
+        if tags:
+            latest = max(int(t) for t in tags)
+            params, opt_state = load_checkpoint(
+                args.out, f"step{latest}", params, opt_state)
+            global_step = latest
+            if os.path.exists(csv_path):
+                rows = np.genfromtxt(csv_path, delimiter=",", names=True)
+                epoch = int(np.atleast_1d(rows["epoch"])[-1]) + 1
+            print(f"resumed from checkpoint_step{latest} (epoch {epoch})")
+
     csv = open(csv_path, "a" if os.path.exists(csv_path) else "w")
     if csv.tell() == 0:
         csv.write("step,epoch,loss_per_token,chamfer,ms\n")
 
-    global_step = 0
-    epoch = 0
+    stop_file = os.path.join(args.out, "STOP")
+    stopping = False
     t_compile = None
-    while global_step < steps_target:
+    while global_step < steps_target and not stopping:
         tscene.set_epoch(epoch)
         total_loss, total_tokens = 0.0, 0
         for batch in tscene.batches():
@@ -191,31 +252,21 @@ def main():
                 csv.flush()
                 print(f"step {global_step} chamfer {chamfer:.4f} "
                       f"loss/token {loss/max(batch.ntokens,1):.4f} {dt:.0f}ms", flush=True)
-            if global_step >= steps_target:
+            if global_step % args.ckpt_every == 0:
+                save_checkpoint(args.out, f"step{global_step}", params, opt_state)
+            if os.path.exists(stop_file):
+                print(f"STOP file seen at step {global_step}; saving and exiting")
+                stopping = True
+            if global_step >= steps_target or stopping:
                 break
         epoch_loss = total_loss / max(total_tokens, 1)
         scheduler.step(epoch_loss)
         epoch += 1
     csv.close()
 
-    save_checkpoint(args.out, epoch, params, opt_state)
-    print(f"saved checkpoint_{epoch} under {args.out}")
-
-    # Summarize the curve for the committed run log.
-    rows = np.genfromtxt(csv_path, delimiter=",", names=True)
-    cham = np.asarray(rows["chamfer"], np.float64)
-    k = max(len(cham) // 12, 1)
-    with open(os.path.join(args.out, "RUN.md"), "w") as f:
-        f.write("# Full-scale stacked campaign\n\n")
-        f.write(f"STACK={stack} d_model={D} N={layers} params={n_params/1e9:.2f}B "
-                f"(bf16 params, Adafactor, decode-scan remat) — "
-                f"{len(cham)} steps on {jax.devices()[0].device_kind}\n\n")
-        f.write("| step | chamfer (mean over window) |\n|---|---|\n")
-        for i in range(0, len(cham), k):
-            f.write(f"| {int(rows['step'][i])} | {np.mean(cham[i:i+k]):.4f} |\n")
-        first, last = np.mean(cham[:k]), np.mean(cham[-k:])
-        f.write(f"\nchamfer first-window {first:.4f} -> last-window {last:.4f}\n")
-        print(f"chamfer {first:.4f} -> {last:.4f}")
+    save_checkpoint(args.out, f"step{global_step}", params, opt_state)
+    print(f"saved checkpoint_step{global_step} under {args.out}")
+    write_report(args.out, meta)
 
 
 if __name__ == "__main__":
