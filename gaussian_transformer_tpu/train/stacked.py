@@ -445,15 +445,32 @@ def make_train_step(model, handler, render_cfg, optimizer, stack: int = STACK):
     return step
 
 
+def _np_save_view(x):
+    """npz-safe view: numpy has no bfloat16, so bf16 leaves are stored as
+    uint16 bit patterns (the like-tree's dtype restores them on load)."""
+    a = np.asarray(x)
+    if a.dtype == jnp.bfloat16:
+        return a.view(np.uint16)
+    return a
+
+
+def _np_load_leaf(stored, like):
+    dt = jnp.asarray(like).dtype
+    if dt == jnp.bfloat16:
+        return jnp.asarray(stored.view(jnp.bfloat16))
+    return jnp.asarray(stored, dt)
+
+
 def save_checkpoint(run_dir: str, epoch: int, params, opt_state) -> None:
     """model.pt/optim.pt analog: checkpoint_{epoch}/ npz pair
-    (train_stacked_transformer.py:392-398)."""
+    (train_stacked_transformer.py:392-398). bf16 leaves round-trip via a
+    uint16 view (numpy cannot serialize ml_dtypes natively)."""
     d = os.path.join(run_dir, f"checkpoint_{epoch}")
     os.makedirs(d, exist_ok=True)
     flat, treedef = jax.tree_util.tree_flatten(params)
-    np.savez(os.path.join(d, "model.npz"), *[np.asarray(x) for x in flat])
+    np.savez(os.path.join(d, "model.npz"), *[_np_save_view(x) for x in flat])
     oflat, _ = jax.tree_util.tree_flatten(opt_state)
-    np.savez(os.path.join(d, "optim.npz"), *[np.asarray(x) for x in oflat])
+    np.savez(os.path.join(d, "optim.npz"), *[_np_save_view(x) for x in oflat])
 
 
 def load_checkpoint(run_dir: str, epoch: int, params_like, opt_state_like):
@@ -461,11 +478,11 @@ def load_checkpoint(run_dir: str, epoch: int, params_like, opt_state_like):
     m = np.load(os.path.join(d, "model.npz"))
     flat, treedef = jax.tree_util.tree_flatten(params_like)
     params = jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(m[f"arr_{i}"]) for i in range(len(flat))]
+        treedef, [_np_load_leaf(m[f"arr_{i}"], l) for i, l in enumerate(flat)]
     )
     o = np.load(os.path.join(d, "optim.npz"))
     oflat, otreedef = jax.tree_util.tree_flatten(opt_state_like)
     opt_state = jax.tree_util.tree_unflatten(
-        otreedef, [jnp.asarray(o[f"arr_{i}"]) for i in range(len(oflat))]
+        otreedef, [_np_load_leaf(o[f"arr_{i}"], l) for i, l in enumerate(oflat)]
     )
     return params, opt_state

@@ -152,6 +152,25 @@ class TestDecodeAndLoss:
         for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_checkpoint_roundtrip_bf16_adafactor(self, tmp_path):
+        """The full-scale campaign recipe (bf16 params + Adafactor): numpy
+        cannot serialize bfloat16, so leaves round-trip via a uint16 view."""
+        variables = {
+            "w": (jnp.arange(32).reshape(8, 4) / 7.0).astype(jnp.bfloat16),
+            "b": jnp.zeros((4,), jnp.float32),
+        }
+        optimizer = optax.adafactor(learning_rate=1.0, min_dim_size_to_factor=2)
+        opt_state = optimizer.init(variables)
+        save_checkpoint(str(tmp_path), "step3", variables, opt_state)
+        v2, o2 = load_checkpoint(str(tmp_path), "step3", variables, opt_state)
+        for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v2)):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32)
+            )
+        for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+            assert jnp.asarray(a).dtype == jnp.asarray(b).dtype
+
 
 class TestLiveViewerStream:
     def test_stream_decode_matches_scan_and_renders(self):

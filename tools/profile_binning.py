@@ -2,7 +2,7 @@
 """Chained-loop timing of the binning pipeline's internal stages on the real
 chip (prefix timings; deltas attribute cost to each stage).
 
-Usage: PYTHONPATH=/root/repo python tools/profile_binning.py [iters]
+Usage: PYTHONPATH=/root/repo python tools/profile_binning.py [iters] [n_gaussians]
 """
 
 import math
@@ -30,7 +30,13 @@ def main():
 
     WIDTH, HEIGHT = 1920, 1080
     pcd = fetch_point_cloud("/root/reference/table_ds/sparse/0/points3D.ply")
-    scene = GaussianScene.from_pcd(pcd, max_sh_degree=1)
+    n_gauss = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    if n_gauss:
+        import bench  # repo-root bench.py: densified-scene synthesis
+        scene = bench._densified_scene(pcd, n_gauss)
+        print(f"densified scene: {n_gauss} gaussians", flush=True)
+    else:
+        scene = GaussianScene.from_pcd(pcd, max_sh_degree=1)
     center = pcd.points.mean(0)
     extent = float(np.abs(pcd.points - center).max())
     rng = np.random.RandomState(0)
