@@ -149,6 +149,38 @@ def bench_step(scene, cam, extent, precision="fp32"):
     }
 
 
+def _check_tpu_tunnel():
+    """Fail fast (instead of hanging in the PJRT client's connect-retry loop)
+    when the axon TPU relay is down: the plugin dials 127.0.0.1 relay ports
+    and spins forever if nothing listens. A dead relay is an infra failure,
+    not a framework regression — say so loudly and exit nonzero."""
+    import os
+    import socket
+
+    if os.environ.get("GT_PLATFORM") == "cpu" or os.environ.get("JAX_PLATFORMS") == "cpu":
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # not running under the axon tunnel
+    for port in (8082, 8083, 8087):
+        s = socket.socket()
+        s.settimeout(1.0)
+        try:
+            s.connect(("127.0.0.1", port))
+            s.close()
+            return  # relay alive
+        except OSError:
+            s.close()
+    import sys
+
+    sys.stderr.write(
+        "bench.py: TPU tunnel relay is DOWN (no listener on the axon relay "
+        "ports) — the chip is unreachable from this VM. This is an "
+        "infrastructure failure, not a perf regression; the last completed "
+        "run of this bench is recorded in BENCH_NOTES.md.\n"
+    )
+    sys.exit(3)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scale", action="store_true",
@@ -157,6 +189,8 @@ def main():
                         help="compositor property-stream precision (bf16: "
                         "half the kernel's dominant HBM read, lossy)")
     args = parser.parse_args()
+
+    _check_tpu_tunnel()
 
     import jax
 
