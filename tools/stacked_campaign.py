@@ -42,7 +42,11 @@ def write_report(out_dir: str, meta: dict) -> None:
     window means. Standalone so an interrupted campaign can still produce the
     committed run log (``--report-only``)."""
     csv_path = os.path.join(out_dir, "loss_curve.csv")
-    rows = np.genfromtxt(csv_path, delimiter=",", names=True)
+    try:
+        rows = np.genfromtxt(csv_path, delimiter=",", names=True)
+    except IndexError:  # header-only curve (run killed before any flush)
+        print("loss curve is empty; no report written")
+        return
     cham = np.atleast_1d(np.asarray(rows["chamfer"], np.float64))
     steps = np.atleast_1d(np.asarray(rows["step"], np.int64))
     ms = np.atleast_1d(np.asarray(rows["ms"], np.float64))
@@ -206,9 +210,11 @@ def main():
             params, opt_state = load_checkpoint(
                 args.out, f"step{latest}", params, opt_state)
             global_step = latest
-            if os.path.exists(csv_path):
+            try:
                 rows = np.genfromtxt(csv_path, delimiter=",", names=True)
                 epoch = int(np.atleast_1d(rows["epoch"])[-1]) + 1
+            except (OSError, IndexError, KeyError, ValueError):
+                pass  # header-only or missing curve: epoch stays 0
             print(f"resumed from checkpoint_step{latest} (epoch {epoch})")
 
     csv = open(csv_path, "a" if os.path.exists(csv_path) else "w")
@@ -248,8 +254,8 @@ def main():
             global_step += 1
             csv.write(f"{global_step},{epoch},{loss/max(batch.ntokens,1):.6f},"
                       f"{chamfer:.6f},{dt:.0f}\n")
+            csv.flush()  # steps are ~30s at full scale; never lose rows to a kill
             if global_step % 25 == 0:
-                csv.flush()
                 print(f"step {global_step} chamfer {chamfer:.4f} "
                       f"loss/token {loss/max(batch.ntokens,1):.4f} {dt:.0f}ms", flush=True)
             if global_step % args.ckpt_every == 0:
