@@ -39,7 +39,7 @@ class ParamGroup:
         for attr, default in list(vars(self).items()):
             if attr == "_spec":
                 continue
-            flag = attr.lstrip("_")
+            flag = attr[1:] if attr.startswith("_") else attr  # strip exactly one _
             self._spec[flag] = attr
             names = [f"--{flag}"] + ([f"-{flag[0]}"] if attr.startswith("_") else [])
             opts = {"default": None if fill_none else default}

@@ -238,8 +238,6 @@ class Encoder(nn.Module):
     block_k: int = 0
     ring_axis: Optional[str] = None
     mesh: Any = None
-    ring_axis: Optional[str] = None
-    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -258,8 +256,6 @@ class Decoder(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     block_k: int = 0
-    ring_axis: Optional[str] = None
-    mesh: Any = None
     ring_axis: Optional[str] = None
     mesh: Any = None
 

@@ -71,8 +71,13 @@ def chamfer_distance(a, b, a_valid=None, b_valid=None, block: int = 512):
             jax.lax.stop_gradient(b1), jax.lax.stop_gradient(a1), block, b_valid=av
         )
         # Re-gather so gradients flow through the matched pairs exactly.
-        d1 = jnp.sum((a1 - b1[idx1]) ** 2, axis=-1) * av.astype(a1.dtype)
-        d2 = jnp.sum((b1 - a1[idx2]) ** 2, axis=-1) * bv.astype(b1.dtype)
+        # A fully-invalid target set makes every distance +inf, so argmin
+        # degenerates to 0 and the re-gather would produce finite garbage:
+        # zero the whole direction in that case.
+        has_b = jnp.any(bv).astype(a1.dtype)
+        has_a = jnp.any(av).astype(b1.dtype)
+        d1 = jnp.sum((a1 - b1[idx1]) ** 2, axis=-1) * av.astype(a1.dtype) * has_b
+        d2 = jnp.sum((b1 - a1[idx2]) ** 2, axis=-1) * bv.astype(b1.dtype) * has_a
         return d1, d2, idx1, idx2
 
     # Unrolled over the (small) batch instead of vmap: vmapping the matched-

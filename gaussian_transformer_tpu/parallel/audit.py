@@ -57,8 +57,12 @@ def collective_report(hlo_text: str) -> List[Collective]:
         if not m:
             continue
         rest = m.group(1)
-        opm = re.search(r"\b(" + "|".join(_COLLECTIVES) + r")(?:-start|-done)?\(", rest)
+        opm = re.search(r"\b(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\(", rest)
         if not opm:
+            continue
+        if opm.group(2) == "-done":
+            # Async collectives appear as start/done pairs; counting both
+            # double-counts the op and inflates byte totals.
             continue
         # Output shape(s) are everything before the opcode token.
         head = rest[: opm.start()]

@@ -38,11 +38,13 @@ def _ring_attention_local(q, k, v, mask, rng, axis_name: str, dropout_rate: floa
     scale = 1.0 / jnp.sqrt(jnp.asarray(D, q.dtype))
 
     lead = q.shape[:-2]
-    # pvary: constants entering the loop carry must be marked device-varying
-    # so they type-match the ppermuted k/v in the new shard_map vma system.
-    m0 = jax.lax.pvary(jnp.full((*lead, Lq_local, 1), -jnp.inf, q.dtype), axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((*lead, Lq_local, 1), q.dtype), axis_name)
-    acc0 = jax.lax.pvary(jnp.zeros((*lead, Lq_local, D), q.dtype), axis_name)
+    # pcast(to='varying'): constants entering the loop carry must be marked
+    # device-varying so they type-match the ppermuted k/v in the new shard_map
+    # vma system.
+    _vary = lambda x: jax.lax.pcast(x, axis_name, to="varying")
+    m0 = _vary(jnp.full((*lead, Lq_local, 1), -jnp.inf, q.dtype))
+    l0 = _vary(jnp.zeros((*lead, Lq_local, 1), q.dtype))
+    acc0 = _vary(jnp.zeros((*lead, Lq_local, D), q.dtype))
 
     # Rematerialize per ring step (like the blockwise scan body): backward
     # replays the local scores instead of storing [Lq, Lk_local] per step.

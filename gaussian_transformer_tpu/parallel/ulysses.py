@@ -29,7 +29,6 @@ from gaussian_transformer_tpu.ops.attention import MASK_FILL
 def _local(q, k, v, mask, has_mask: bool, axis_name: str):
     """Inside shard_map: q/k/v [B, H, L_local, D]; mask (if any) replicated
     [B, 1|H, Lq, Lk] or q-sharded — see ulysses_attention."""
-    a = jax.lax.psum(1, axis_name)
     # Sequence-sharded -> head-sharded: split heads, gather sequence.
     q = jax.lax.all_to_all(q, axis_name, split_axis=1, concat_axis=2, tiled=True)
     k = jax.lax.all_to_all(k, axis_name, split_axis=1, concat_axis=2, tiled=True)

@@ -50,8 +50,9 @@ print(f"worker {pid} OK", flush=True)
 """
 
 
-@pytest.mark.timeout(300)
 def test_two_process_psum(tmp_path):
+    # Bounded by the 240s communicate() timeout below (pytest-timeout is not
+    # in this image, so a timeout mark would be an unregistered no-op).
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
