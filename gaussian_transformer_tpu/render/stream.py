@@ -1,30 +1,35 @@
 """Pallas TPU stream compositor: chunked padded-CSR front-to-back compositing.
 
-Second-generation replacement for the [T, K]-table kernel in
-pallas_composite.py (both replace the render/backward stage of the reference's
-CUDA rasterizer, ``/root/reference/gaussian_renderer/__init__.py:85-93``).
-Instead of gathering a [T, K, 16] per-tile property table (T*K rows of HBM
-traffic and a hard per-tile K cap), the compositor walks the instance stream
-directly:
+Third-generation kernel replacing the render/backward stage of the reference's
+CUDA rasterizer (``/root/reference/gaussian_renderer/__init__.py:85-93``). The
+layout is the padded-CSR instance stream built by tiles.bin_stream: every
+tile's depth-ordered instance run lies contiguously at a chunk-aligned start,
+property rows are gathered once at instance granularity ([I_pad, 16]).
 
-  * binning (tiles.bin_stream) lays every tile's depth-ordered instance run
-    contiguously in one [I_pad] stream, padded so each chunk-row block belongs
-    to exactly ONE tile; property rows are gathered once at instance
-    granularity ([I_pad, 16] — ~8x less traffic than the table),
-  * the kernel grid is one program per chunk; Pallas double-buffers the
-    [chunk, 16] property blocks automatically, and the output block index is
-    the chunk's tile id (scalar-prefetched), so consecutive chunks of the same
-    tile keep the accumulator in VMEM — the transmittance recurrence carries
-    across programs through the out refs + a live-mask scratch,
-  * per-tile instance counts are UNCAPPED: a tile may span any number of
-    chunks (the reference's variable-length lists, without the GPU's dynamic
-    allocation),
+What changed from the v2 kernel (one grid program per chunk): at realistic
+scale the v2 grid was *scheduling-bound* — a 1M-Gaussian scene walked ~40k
+sequential 128-row programs at ~3 us each. v3 batches ``SUPER`` chunks into
+one program (one [SUPER*chunk, 16] block DMA, auto double-buffered by the
+Pallas pipeline) and walks them in an in-kernel loop:
+
+  * the chunk->tile map is scalar-prefetched; the transmittance recurrence
+    carries across chunk AND program boundaries in VMEM scratch,
+  * when the loop crosses a tile boundary it FLUSHES the [4, P] accumulator
+    (color rows 0-2, transmittance row 3) to the tile's row of an HBM output
+    via async DMA through a 2-slot staging buffer — the copy overlaps the
+    next tile's compute, and an SMEM counter orders slot reuse,
+  * per-tile instance counts stay UNCAPPED, and saturated tiles still skip
+    all remaining compute (the block DMA streams regardless),
   * exact upstream semantics preserved (alpha cap 0.99, 1/255 skip floor,
     termination before the contribution that drops T below 1e-4), verified by
     the same golden/naive equivalence tests as the table kernel,
-  * the backward kernel replays the forward per chunk and writes per-instance
-    gradient rows [chunk, 16] to its OWN block — no scatter conflicts; the
-    pullback to per-Gaussian arrays is one segment add over stream_gauss.
+  * the backward kernel replays the forward per chunk, DMA-ing the finished
+    tile's residual/cotangent rows ([8, P]: C_total, T_final, gC, gT) from an
+    HBM table on each tile change, and writes per-instance gradient rows to
+    its own [SUPER*chunk, 16] block — no scatter conflicts,
+  * the pullback to per-Gaussian arrays (stream_gather) inverts the binning
+    permutation with a row gather + cumsum + segment-boundary gather instead
+    of a colliding scatter-add (which XLA:TPU serializes).
 
 Property row layout matches pallas_composite (PROPS_F = 16):
   0: x  1: y  2: conic_a  3: conic_b  4: conic_c  5: r  6: g  7: b  8: opacity
@@ -54,10 +59,15 @@ from gaussian_transformer_tpu.render.pallas_composite import (
     pack_props,
 )
 
-# The chunk size (stream layout granularity = kernel block rows) is inferred
-# per call as I_pad // len(chunk_tile); bin_stream picks it so the SMEM-resident
+# The chunk size (stream layout granularity) is inferred per call as
+# I_pad // len(chunk_tile); bin_stream picks it so the SMEM-resident
 # chunk->tile map stays small on large scenes. CH (=32) is the floor.
 P = TILE * TILE
+
+# Target property-block rows per grid program. The kernel loops over
+# BLOCK_ROWS // chunk chunks per program; bigger blocks amortize grid
+# scheduling and DMA issue, at 2 * BLOCK_ROWS * 16 * 4 bytes of VMEM.
+BLOCK_ROWS = 2048
 
 
 def _local_pixel_coords():
@@ -100,130 +110,242 @@ def _alpha_math(blk, px, py):
     return alpha, alpha_raw, rgb, dx, dy, a, b, c, opac
 
 
-def _fwd_kernel(chunk_tile_ref, props_ref, color_ref, t_ref, live_ref, *, grid_w, local_coords=False):
-    g = pl.program_id(0)
-    t = chunk_tile_ref[g]
-    prev = chunk_tile_ref[jnp.maximum(g - 1, 0)]
-    is_first = (g == 0) | (t != prev)
+def _fwd_kernel(
+    chunk_tile_ref, props_ref, out_ref, acc, live, stage, cnt, sem,
+    *, grid_w, n_tiles, super_, chunk, local_coords=False,
+):
+    pid = pl.program_id(0)
+    nprog = pl.num_programs(0)
 
-    @pl.when(is_first)
+    @pl.when(pid == 0)
     def _():
-        color_ref[0] = jnp.zeros((3, P), jnp.float32)
-        t_ref[0] = jnp.ones((1, P), jnp.float32)
-        live_ref[:] = jnp.ones((1, P), jnp.float32)
+        cnt[0] = 0
 
-    t_run = t_ref[0]
-    live = live_ref[:]
+    def flush(tile):
+        """Stage the accumulator and async-copy it to out[tile]; 2-slot
+        rotation lets the DMA overlap the next tile's compute. The wait
+        descriptor's destination index is irrelevant — semaphore waits match
+        on transfer size only."""
+        c = cnt[0]
+        slot = jax.lax.rem(c, 2)
 
-    # Whole-tile early out: every pixel saturated -> the remaining chunks of
-    # this tile cannot contribute (their DMA still streams, compute is skipped).
-    @pl.when(jnp.max(t_run * live) >= 1e-4)
+        @pl.when(c >= 2)
+        def _():
+            pltpu.make_async_copy(stage.at[slot], out_ref.at[0], sem.at[slot]).wait()
+
+        stage[slot] = acc[:]
+        pltpu.make_async_copy(stage.at[slot], out_ref.at[tile], sem.at[slot]).start()
+        cnt[0] = c + 1
+
+    def body(s, _):
+        g = pid * super_ + s
+        t = chunk_tile_ref[g]
+        prev = chunk_tile_ref[jnp.maximum(g - 1, 0)]
+        change = (g > 0) & (t != prev)
+
+        @pl.when(change)
+        def _():
+            flush(prev)
+
+        @pl.when((g == 0) | change)
+        def _():
+            acc[:] = jnp.concatenate(
+                [jnp.zeros((3, P), jnp.float32), jnp.ones((1, P), jnp.float32)], axis=0
+            )
+            live[:] = jnp.ones((1, P), jnp.float32)
+
+        t_run = acc[3:4]
+        lv = live[:]
+
+        # Whole-tile early out: every pixel saturated -> remaining chunks of
+        # this tile cannot contribute. Trash-tile (padding) chunks skip too.
+        @pl.when((jnp.max(t_run * lv) >= 1e-4) & (t < n_tiles))
+        def _():
+            px, py = _local_pixel_coords() if local_coords else _pixel_coords(t, grid_w)
+            blk = props_ref[pl.ds(s * chunk, chunk), :]
+            alpha, _, rgb, *_ = _alpha_math(blk, px, py)
+
+            t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
+            trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
+            done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
+            live_k = jnp.where(done_inc, 0.0, lv)
+
+            w = alpha * t_in * live_k
+            color = acc[0:3] + jax.lax.dot_general(
+                rgb, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes: keep
+                # the color accumulation bit-comparable with the XLA/golden refs
+            )
+            t_new = t_run * _row_product(1.0 - alpha * live_k)
+            acc[:] = jnp.concatenate([color, t_new], axis=0)
+            live[:] = lv * (1.0 - done_inc[-1:].astype(jnp.float32))
+
+        return 0
+
+    jax.lax.fori_loop(0, super_, body, 0)
+
+    @pl.when(pid == nprog - 1)
     def _():
-        px, py = _local_pixel_coords() if local_coords else _pixel_coords(t, grid_w)
-        alpha, _, rgb, *_ = _alpha_math(props_ref[:], px, py)
+        flush(chunk_tile_ref[nprog * super_ - 1])
+        # Drain outstanding staging DMAs before the kernel retires.
+        c = cnt[0]
 
-        t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
-        trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
-        done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
-        live_k = jnp.where(done_inc, 0.0, live)
+        @pl.when(c >= 2)
+        def _():
+            s0 = jax.lax.rem(c, 2)
+            pltpu.make_async_copy(stage.at[s0], out_ref.at[0], sem.at[s0]).wait()
 
-        w = alpha * t_in * live_k
-        color_ref[0] = color_ref[0] + jax.lax.dot_general(
-            rgb, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes: keep the
-            # color accumulation bit-comparable with the XLA/golden references
-        )
-        t_ref[0] = t_run * _row_product(1.0 - alpha * live_k)
-        live_ref[:] = live * (1.0 - done_inc[-1:].astype(jnp.float32))
+        @pl.when(c >= 1)
+        def _():
+            s1 = jax.lax.rem(c + 1, 2)
+            pltpu.make_async_copy(stage.at[s1], out_ref.at[0], sem.at[s1]).wait()
 
 
 def _bwd_kernel(
-    chunk_tile_ref, props_ref, color_ref, final_t_ref, g_color_ref, g_t_ref,
-    dprops_ref, pref_ref, t_scr, live_scr, *, grid_w, local_coords=False,
+    chunk_tile_ref, props_ref, tiledata_ref, dprops_ref,
+    tile_scr, pref, t_scr, live_scr, fetch_sem,
+    *, grid_w, n_tiles, super_, chunk, local_coords=False,
 ):
-    """Replay one chunk and emit its per-instance grads (math identical to
-    pallas_composite._bwd_one_tile, carried across programs via scratch)."""
-    g = pl.program_id(0)
-    t = chunk_tile_ref[g]
-    prev = chunk_tile_ref[jnp.maximum(g - 1, 0)]
-    is_first = (g == 0) | (t != prev)
+    """Replay chunks and emit per-instance grads (math identical to the v2
+    kernel, carried across chunks and programs via scratch). On each tile
+    change the tile's residual/cotangent rows ([8, P]: C_total 0:3, T_final
+    3:4, g_color 4:7, g_t 7:8) are DMA'd from the HBM table."""
+    pid = pl.program_id(0)
 
-    @pl.when(is_first)
-    def _():
-        pref_ref[:] = jnp.zeros((3, P), jnp.float32)
-        t_scr[:] = jnp.ones((1, P), jnp.float32)
-        live_scr[:] = jnp.ones((1, P), jnp.float32)
+    def body(s, _):
+        g = pid * super_ + s
+        t = chunk_tile_ref[g]
+        prev = chunk_tile_ref[jnp.maximum(g - 1, 0)]
+        is_first = (g == 0) | (t != prev)
 
-    t_run = t_scr[:]
-    live = live_scr[:]
-    active = jnp.max(t_run * live) >= 1e-4
+        @pl.when(is_first)
+        def _():
+            cp = pltpu.make_async_copy(tiledata_ref.at[t], tile_scr, fetch_sem)
+            cp.start()
+            cp.wait()
+            pref[:] = jnp.zeros((3, P), jnp.float32)
+            t_scr[:] = jnp.ones((1, P), jnp.float32)
+            live_scr[:] = jnp.ones((1, P), jnp.float32)
 
-    @pl.when(active)
-    def _():
-        px, py = _local_pixel_coords() if local_coords else _pixel_coords(t, grid_w)
-        alpha, alpha_raw, rgb, dx, dy, a, b, c, opac = _alpha_math(props_ref[:], px, py)
-        g_color = g_color_ref[0]  # [3, P]
-        g_t = g_t_ref[0]  # [1, P]
-        t_final = final_t_ref[0]
-        c_total = color_ref[0]
+        t_run = t_scr[:]
+        live = live_scr[:]
+        active = (jnp.max(t_run * live) >= 1e-4) & (t < n_tiles)
 
-        t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
-        trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
-        done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
-        live_k = jnp.where(done_inc, 0.0, live)
-        w = alpha * t_in * live_k
+        @pl.when(active)
+        def _():
+            px, py = _local_pixel_coords() if local_coords else _pixel_coords(t, grid_w)
+            blk = props_ref[pl.ds(s * chunk, chunk), :]
+            alpha, alpha_raw, rgb, dx, dy, a, b, c, opac = _alpha_math(blk, px, py)
+            c_total = tile_scr[0:3]
+            t_final = tile_scr[3:4]
+            g_color = tile_scr[4:7]
+            g_t = tile_scr[7:8]
 
-        d_rgb = jax.lax.dot_general(
-            w, g_color, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+            t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
+            trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
+            done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
+            live_k = jnp.where(done_inc, 0.0, live)
+            w = alpha * t_in * live_k
 
-        one_minus = jnp.maximum(1.0 - alpha, 1e-6)
-        g_alpha = -g_t * t_final / one_minus
-        color_pref = pref_ref[:]
-        chunk_totals = []
-        for ch3 in range(3):
-            contrib_c = w * rgb[:, ch3 : ch3 + 1]
-            prefix_c = _inclusive_cumsum_rows(contrib_c)
-            suffix_c = (c_total[ch3 : ch3 + 1] - color_pref[ch3 : ch3 + 1]) - prefix_c
-            g_alpha = g_alpha + g_color[ch3 : ch3 + 1] * (
-                rgb[:, ch3 : ch3 + 1] * t_in - suffix_c / one_minus
+            d_rgb = jax.lax.dot_general(
+                w, g_color, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            chunk_totals.append(prefix_c[-1:])
-        g_alpha = g_alpha * live_k * jnp.where(alpha > 0.0, 1.0, 0.0)
 
-        capped = alpha_raw > 0.99
-        g_alpha = jnp.where(capped, 0.0, g_alpha)
-        g_power = g_alpha * alpha
-        opac_safe = jnp.maximum(opac, 1e-12)
-        g_opac_px = g_alpha * alpha / opac_safe
+            one_minus = jnp.maximum(1.0 - alpha, 1e-6)
+            g_alpha = -g_t * t_final / one_minus
+            color_pref = pref[:]
+            chunk_totals = []
+            for ch3 in range(3):
+                contrib_c = w * rgb[:, ch3 : ch3 + 1]
+                prefix_c = _inclusive_cumsum_rows(contrib_c)
+                suffix_c = (c_total[ch3 : ch3 + 1] - color_pref[ch3 : ch3 + 1]) - prefix_c
+                g_alpha = g_alpha + g_color[ch3 : ch3 + 1] * (
+                    rgb[:, ch3 : ch3 + 1] * t_in - suffix_c / one_minus
+                )
+                chunk_totals.append(prefix_c[-1:])
+            g_alpha = g_alpha * live_k * jnp.where(alpha > 0.0, 1.0, 0.0)
 
-        g_dx = g_power * (-(a * dx) - b * dy)
-        g_dy = g_power * (-(c * dy) - b * dx)
-        g_a = g_power * (-0.5 * dx * dx)
-        g_b = g_power * (-(dx * dy))
-        g_c = g_power * (-0.5 * dy * dy)
+            capped = alpha_raw > 0.99
+            g_alpha = jnp.where(capped, 0.0, g_alpha)
+            g_power = g_alpha * alpha
+            opac_safe = jnp.maximum(opac, 1e-12)
+            g_opac_px = g_alpha * alpha / opac_safe
 
-        def rsum(v):
-            return jnp.sum(v, axis=1, keepdims=True)
+            g_dx = g_power * (-(a * dx) - b * dy)
+            g_dy = g_power * (-(c * dy) - b * dx)
+            g_a = g_power * (-0.5 * dx * dx)
+            g_b = g_power * (-(dx * dy))
+            g_c = g_power * (-0.5 * dy * dy)
 
-        zeros1 = jnp.zeros((props_ref.shape[0], 1), jnp.float32)
-        dprops_ref[:] = jnp.concatenate(
-            [
-                rsum(g_dx), rsum(g_dy), rsum(g_a), rsum(g_b), rsum(g_c),
-                d_rgb, rsum(g_opac_px),
-                zeros1, zeros1, zeros1, zeros1, zeros1, zeros1, zeros1,
-            ],
-            axis=1,
-        )
+            def rsum(v):
+                return jnp.sum(v, axis=1, keepdims=True)
 
-        pref_ref[:] = color_pref + jnp.concatenate(chunk_totals, axis=0)
-        t_scr[:] = t_run * _row_product(1.0 - alpha * live_k)
-        live_scr[:] = live * (1.0 - done_inc[-1:].astype(jnp.float32))
+            zeros1 = jnp.zeros((chunk, 1), jnp.float32)
+            dprops_ref[pl.ds(s * chunk, chunk), :] = jnp.concatenate(
+                [
+                    rsum(g_dx), rsum(g_dy), rsum(g_a), rsum(g_b), rsum(g_c),
+                    d_rgb, rsum(g_opac_px),
+                    zeros1, zeros1, zeros1, zeros1, zeros1, zeros1, zeros1,
+                ],
+                axis=1,
+            )
 
-    @pl.when(jnp.logical_not(active))
-    def _():
-        dprops_ref[:] = jnp.zeros(dprops_ref.shape, jnp.float32)
+            pref[:] = color_pref + jnp.concatenate(chunk_totals, axis=0)
+            t_scr[:] = t_run * _row_product(1.0 - alpha * live_k)
+            live_scr[:] = live * (1.0 - done_inc[-1:].astype(jnp.float32))
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            dprops_ref[pl.ds(s * chunk, chunk), :] = jnp.zeros((chunk, PROPS_F), jnp.float32)
+
+        return 0
+
+    jax.lax.fori_loop(0, super_, body, 0)
+
+
+@jax.custom_vjp
+def stream_gather(props_full, stream_gauss, pos_unsorted, gauss_offsets, gauss_cov):
+    """props_full[stream_gauss] ([I_pad, 16]) with a TPU-shaped backward.
+
+    The automatic gather-VJP is a scatter-add over stream_gauss — millions of
+    COLLIDING indices, which XLA:TPU serializes. Instead the cotangent rows
+    are pulled back through the binning permutation: gather each (unsorted,
+    gaussian-major) instance's stream row at ``pos_unsorted``, prefix-sum,
+    and difference at each depth-sorted Gaussian's [offset, offset+cov)
+    segment boundaries — gathers and one cumsum, no colliding scatter.
+    """
+    return props_full[stream_gauss]
+
+
+def _stream_gather_fwd(props_full, stream_gauss, pos_unsorted, gauss_offsets, gauss_cov):
+    out = stream_gather(props_full, stream_gauss, pos_unsorted, gauss_offsets, gauss_cov)
+    return out, (props_full.shape[0], stream_gauss.shape[0], pos_unsorted, gauss_offsets, gauss_cov)
+
+
+def _stream_gather_bwd(res, g):
+    C1, I_pad, pos_unsorted, gauss_offsets, gauss_cov = res
+    I = pos_unsorted.shape[0]
+    in_stream = pos_unsorted < I_pad
+    safe = jnp.minimum(pos_unsorted, I_pad - 1)
+    d_unsorted = jnp.where(in_stream[:, None], g[safe], 0.0)  # [I, 16] row gather
+    csum = jnp.concatenate(
+        [jnp.zeros((1, PROPS_F), g.dtype), jnp.cumsum(d_unsorted, axis=0)], axis=0
+    )  # [I+1, 16]; csum[k] = sum of first k rows
+    lo = jnp.clip(gauss_offsets, 0, I)
+    hi = jnp.clip(gauss_offsets + gauss_cov, 0, I)
+    d_gauss = csum[hi] - csum[lo]  # [C, 16] per-(depth-sorted)-Gaussian totals
+    d_props_full = jnp.concatenate(
+        [d_gauss, jnp.zeros((1, PROPS_F), g.dtype)], axis=0
+    )  # sentinel row C gets zero
+    zi = lambda n: _np.zeros((n,), dtype=jax.dtypes.float0)
+    return (
+        d_props_full, zi(I_pad), zi(I),
+        zi(gauss_offsets.shape[0]), zi(gauss_cov.shape[0]),
+    )
+
+
+stream_gather.defvjp(_stream_gather_fwd, _stream_gather_bwd)
 
 
 def stream_image(
@@ -240,9 +362,11 @@ def stream_image(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render the padded image [3, H_pad, W_pad] + transmittance map from the
     instance stream (drop-in for pallas_composite.composite_image_pallas)."""
-    C = means2d_s.shape[0]
     props_full = pack_props(means2d_s, conics_s, rgbs_s, opac_s)  # [C+1, 16]
-    props = props_full[binned.stream_gauss]  # [I_pad, 16]; autodiff -> segment add
+    props = stream_gather(
+        props_full, binned.stream_gauss, binned.pos_unsorted,
+        binned.gauss_offsets, binned.gauss_cov,
+    )  # [I_pad, 16]
     color, final_t = _composite_stream_tiles(
         props, binned.chunk_tile, grid_w, grid_h, precision
     )
@@ -279,6 +403,22 @@ def _kernel_props(props, chunk_tile, grid_w, chunk, precision):
     return props
 
 
+def _super_pad(props, chunk_tile, chunk, n_tiles):
+    """Pad the stream to a whole number of SUPER-chunk programs (trash-tile
+    chunks of sentinel rows). Returns (props, chunk_tile, super_)."""
+    G = chunk_tile.shape[0]
+    super_ = max(1, BLOCK_ROWS // chunk)
+    g_pad = (-G) % super_
+    if g_pad:
+        chunk_tile = jnp.concatenate(
+            [chunk_tile, jnp.full((g_pad,), n_tiles, chunk_tile.dtype)]
+        )
+        props = jnp.concatenate(
+            [props, jnp.zeros((g_pad * chunk, props.shape[1]), props.dtype)], axis=0
+        )
+    return props, chunk_tile, super_
+
+
 def _run_fwd(props, chunk_tile, grid_w, grid_h, precision="fp32"):
     I_pad, F = props.shape
     G = chunk_tile.shape[0]
@@ -286,29 +426,35 @@ def _run_fwd(props, chunk_tile, grid_w, grid_h, precision="fp32"):
     T = grid_w * grid_h
     assert F == PROPS_F and I_pad == G * chunk and chunk % CH == 0
     props = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
-    kernel = functools.partial(_fwd_kernel, grid_w=grid_w, local_coords=precision == "bf16")
+    props, chunk_tile, super_ = _super_pad(props, chunk_tile, chunk, T)
+    kernel = functools.partial(
+        _fwd_kernel, grid_w=grid_w, n_tiles=T, super_=super_, chunk=chunk,
+        local_coords=precision == "bf16",
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(G,),
+        grid=(chunk_tile.shape[0] // super_,),
         in_specs=[
-            pl.BlockSpec((chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (super_ * chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 3, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((4, P), jnp.float32),  # acc: color 0:3, T 3:4
+            pltpu.VMEM((1, P), jnp.float32),  # live
+            pltpu.VMEM((2, 4, P), jnp.float32),  # staging slots
+            pltpu.SMEM((1,), jnp.int32),  # flush counter
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
-    color, final_t = pl.pallas_call(
+    buf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((T + 1, 3, P), jnp.float32),
-            jax.ShapeDtypeStruct((T + 1, 1, P), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((T + 1, 4, P), jnp.float32),
         interpret=_use_interpret(),
     )(chunk_tile, props)
-    return color[:T], final_t[:T]
+    return buf[:T, 0:3, :], buf[:T, 3:4, :]
 
 
 def _stream_fwd_rule(props, chunk_tile, grid_w, grid_h, precision="fp32"):
@@ -324,39 +470,46 @@ def _stream_bwd_rule(grid_w, grid_h, precision, residuals, cotangents):
     chunk = I_pad // G
     T = grid_w * grid_h
     props = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
-    # Trash row for the sentinel tile id T in the residual/cotangent tables.
+    props_p, chunk_tile_p, super_ = _super_pad(props, chunk_tile, chunk, T)
+    # Per-tile residual/cotangent table [T+1, 8, P] (trash row for tile id T):
+    # C_total 0:3, T_final 3:4, g_color 4:7, g_t 7:8.
     pad1 = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
-    color_p, final_t_p = pad1(color), pad1(final_t)
-    g_color_p, g_t_p = pad1(g_color), pad1(g_t)
+    tiledata = jnp.concatenate(
+        [pad1(color), pad1(final_t), pad1(g_color), pad1(g_t)], axis=1
+    )
 
-    kernel = functools.partial(_bwd_kernel, grid_w=grid_w, local_coords=precision == "bf16")
+    kernel = functools.partial(
+        _bwd_kernel, grid_w=grid_w, n_tiles=T, super_=super_, chunk=chunk,
+        local_coords=precision == "bf16",
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(G,),
+        grid=(chunk_tile_p.shape[0] // super_,),
         in_specs=[
-            pl.BlockSpec((chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda g, ct: (ct[g], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (super_ * chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # tiledata, DMA'd per tile
         ],
         out_specs=pl.BlockSpec(
-            (chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM
+            (super_ * chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((8, P), jnp.float32),  # fetched tile rows
+            pltpu.VMEM((3, P), jnp.float32),  # color prefix carry
+            pltpu.VMEM((1, P), jnp.float32),  # transmittance carry
+            pltpu.VMEM((1, P), jnp.float32),  # live carry
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     dprops = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((I_pad, PROPS_F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((chunk_tile_p.shape[0] * chunk, PROPS_F), jnp.float32),
         interpret=_use_interpret(),
-    )(chunk_tile, props, color_p, final_t_p, g_color_p, g_t_p)
+    )(chunk_tile_p, props_p, tiledata)
     zi = _np.zeros(chunk_tile.shape, dtype=jax.dtypes.float0)
-    return (dprops, zi)
+    return (dprops[:I_pad], zi)
 
 
 _composite_stream_tiles.defvjp(_stream_fwd_rule, _stream_bwd_rule)

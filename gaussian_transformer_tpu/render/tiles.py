@@ -144,7 +144,7 @@ def _expand_instances(means2d, depths, radii, include, grid_w, grid_h, R, I):
     """
     C = means2d.shape[0]
     T = grid_w * grid_h
-    order, tile_id, gauss_i, cap_overflow, total_raw = _expand_unsorted(
+    order, tile_id, gauss_i, cap_overflow, total_raw, _, _ = _expand_unsorted(
         means2d, depths, radii, include, grid_w, grid_h, R, I
     )
 
@@ -165,9 +165,11 @@ def _expand_instances(means2d, depths, radii, include, grid_w, grid_h, R, I):
 
 def _expand_unsorted(means2d, depths, radii, include, grid_w, grid_h, R, I):
     """Depth sort + instance expansion WITHOUT the tile sort: returns
-    (order [C], tile_id [I], gauss_i [I], cap_overflow [], total_raw []) with
-    instances laid out gaussian-major in depth order (tile T / gaussian C are
-    the invalid sentinels)."""
+    (order [C], tile_id [I], gauss_i [I], cap_overflow [], total_raw [],
+    offsets [C], cov [C]) with instances laid out gaussian-major in depth
+    order (tile T / gaussian C are the invalid sentinels). ``offsets``/``cov``
+    describe each depth-sorted Gaussian's contiguous range in this layout —
+    the stream compositor's gradient pullback segment-sums over them."""
     C = means2d.shape[0]
     T = grid_w * grid_h
 
@@ -213,7 +215,7 @@ def _expand_unsorted(means2d, depths, radii, include, grid_w, grid_h, R, I):
         jnp.sum(cov_raw - cov)  # per-gaussian coverage cap
         + jnp.maximum(total - I, 0)  # global instance budget
     )
-    return order, tile_id, gauss_i, cap_overflow, jnp.sum(cov_raw)
+    return order, tile_id, gauss_i, cap_overflow, jnp.sum(cov_raw), offsets, cov
 
 
 class StreamBinned(NamedTuple):
@@ -233,6 +235,15 @@ class StreamBinned(NamedTuple):
     overflow: jnp.ndarray  # [] int32 — instances dropped by any static cap
     n_instances: jnp.ndarray  # [] int32 — true (unpadded, uncapped) instance total
     n_padded: jnp.ndarray  # [] int32 — padded stream length actually needed
+    # Gradient-pullback layout (stream.stream_gather): position of each
+    # UNSORTED (gaussian-major) instance in the padded stream (I_pad =
+    # dropped), and each depth-sorted Gaussian's [offset, offset+cov) range in
+    # that unsorted instance domain. Together they turn the stream->gaussian
+    # grad reduction into gather + cumsum + boundary-gather (no colliding
+    # scatter-add, which TPU serializes).
+    pos_unsorted: jnp.ndarray  # [I] int32
+    gauss_offsets: jnp.ndarray  # [C] int32
+    gauss_cov: jnp.ndarray  # [C] int32
 
 
 @functools.partial(
@@ -280,12 +291,16 @@ def bin_stream(
     I_pad = ((I_pad + chunk - 1) // chunk) * chunk
     G = I_pad // chunk
 
-    order, tile_id, gauss_i, cap_overflow, total_raw = _expand_unsorted(
+    order, tile_id, gauss_i, cap_overflow, total_raw, offsets, cov = _expand_unsorted(
         means2d, depths, radii, include, grid_w, grid_h, max_tiles_per_gaussian, I
     )
-    sorted_tiles, sorted_gauss = jax.lax.sort_key_val(tile_id, gauss_i, is_stable=True)
-
     i_iota = jnp.arange(I, dtype=jnp.int32)
+    # Stable tile sort carrying (gaussian, unsorted-index) payloads; the
+    # second payload is the sort permutation the gradient pullback inverts.
+    sorted_tiles, sorted_gauss, sorted_u = jax.lax.sort(
+        (tile_id, gauss_i, i_iota), num_keys=1, is_stable=True
+    )
+
     valid = sorted_tiles < T
     boundary = jnp.concatenate(
         [jnp.ones(1, bool), sorted_tiles[1:] != sorted_tiles[:-1]]
@@ -306,23 +321,37 @@ def bin_stream(
     seg_pstart = jax.lax.cummax(jnp.where(boundary, pstart_excl, -1))
     n_padded = jnp.sum(incr)
 
-    # Unique positions: real instances at their padded slot, everything else
-    # at distinct out-of-bounds slots (dropped by the scatter).
+    # ONE unique-index row scatter builds the stream: (gaussian, tile) pairs
+    # land at their padded slot; dropped/invalid instances land at distinct
+    # out-of-bounds slots (mode="drop" discards them).
     in_budget = valid & (seg_pstart + rank < I_pad)
     pos = jnp.where(in_budget, seg_pstart + rank, I_pad + i_iota)
-    stream_gauss = (
-        jnp.full((I_pad,), C, jnp.int32)
+    packed = jnp.stack([sorted_gauss, sorted_tiles], axis=1)  # [I, 2]
+    stream = (
+        jnp.concatenate(
+            [jnp.full((I_pad, 1), C, jnp.int32), jnp.full((I_pad, 1), T, jnp.int32)],
+            axis=1,
+        )
         .at[pos]
-        .set(sorted_gauss, mode="drop", unique_indices=True)
+        .set(packed, mode="drop", unique_indices=True)
     )
+    stream_gauss = stream[:, 0]
+    # Chunk -> tile map by GATHER, not scatter: every chunk-start slot inside a
+    # run holds a real instance (runs are padded only at their tails), so the
+    # strided read of the scattered tile column is exact; slots past the last
+    # run keep the trash-tile init. (The previous scatter-max over [I]
+    # first-chunk seeds serialized on TPU — all non-boundary rows collided on
+    # one sentinel slot.)
+    chunk_tile = stream[::chunk, 1]
 
-    # Chunk -> tile map from the (small) chunk domain: scatter each run's tile
-    # at its first chunk, forward-fill by cummax (runs are in ascending tile
-    # order), terminate after the last run with the trash tile T.
-    first_chunk = jnp.where(boundary & valid & (pstart_excl < I_pad), pstart_excl // chunk, G)
-    seeds = jnp.full((G + 1,), -1, jnp.int32).at[first_chunk].max(sorted_tiles, mode="drop")
-    seeds = seeds.at[jnp.minimum(n_padded // chunk, G)].max(T)
-    chunk_tile = jnp.where(jax.lax.cummax(seeds[:G]) < 0, T, jax.lax.cummax(seeds[:G]))
+    # Gradient-pullback permutation: where each UNSORTED instance landed in
+    # the padded stream (I_pad = dropped). sorted_u is a permutation, so the
+    # scatter is collision-free.
+    pos_unsorted = (
+        jnp.zeros((I,), jnp.int32)
+        .at[sorted_u]
+        .set(jnp.where(in_budget, pos, I_pad).astype(jnp.int32), unique_indices=True)
+    )
 
     # Per-tile diagnostics from the chunk domain (G-sized scatters are cheap).
     real_per_chunk = jnp.sum((stream_gauss < C).reshape(G, chunk), axis=1)
@@ -341,4 +370,7 @@ def bin_stream(
         overflow=overflow,
         n_instances=total_raw,
         n_padded=n_padded,
+        pos_unsorted=pos_unsorted,
+        gauss_offsets=offsets.astype(jnp.int32),
+        gauss_cov=cov.astype(jnp.int32),
     )
