@@ -43,7 +43,9 @@ def stack_cameras(cams):
     }
     if all(c.original_image is not None for c in cams):
         batched["original_image"] = jnp.stack([c.original_image for c in cams])
-    return c0.replace(**batched)
+    # anonymize: c0's identity metadata is static in the pytree; keeping it
+    # would key a distinct jit trace per batch leader.
+    return c0.replace(**batched).anonymize()
 
 
 def make_sharded_train_step(opt, render_cfg, mesh=None, tile_axis=None):

@@ -87,6 +87,18 @@ class Camera:
             original_image=jnp.asarray(image) if image is not None else None,
         )
 
+    def anonymize(self) -> "Camera":
+        """Strip per-identity static metadata (uid/colmap_id/image_name).
+
+        The static fields are part of the pytree treedef, so every DISTINCT
+        camera identity passed into a jitted function creates a fresh trace +
+        compile-cache entry that is retained forever — on the 1.9B-param
+        campaign that was ~80 MB of host RSS per new camera batch plus a
+        multi-second retrace (the "10 GB/h leak"). Call this on any camera
+        crossing a jit boundary; geometry and images are untouched.
+        """
+        return self.replace(uid=0, colmap_id=0, image_name="")
+
     # Reference-attribute aliases.
     @property
     def FoVx(self):

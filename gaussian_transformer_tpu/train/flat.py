@@ -140,6 +140,10 @@ class FlatTrainingScene:
         self.cameras = []
         self.visible = []
         for cam in scene_obj.get_train_cameras():
+            # anonymize: identity metadata is static in the pytree, and each
+            # distinct identity crossing a jit boundary would retain a fresh
+            # trace + executable (host-RSS leak at campaign scale).
+            cam = cam.anonymize()
             vis = np.asarray(vis_fn(cam))
             count = int(vis.sum())
             if count + 1 >= max_len or count <= min_len:

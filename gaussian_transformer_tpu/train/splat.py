@@ -165,6 +165,51 @@ def restore(payload: dict):
     return scene, adam, stats, int(payload["iteration"]), float(payload["spatial_lr_scale"])
 
 
+def orbax_payload(gaussians, adam, stats, iteration, spatial_lr_scale) -> dict:
+    """capture() as a pytree of DEVICE arrays — Orbax snapshots it
+    asynchronously without a host sync."""
+    return {
+        "param": {k: getattr(gaussians, k) for k in PARAM_LEAVES},
+        "alive": gaussians.alive,
+        "adam": {"mu": adam.mu, "nu": adam.nu, "counts": adam.counts},
+        "stats": {
+            "accum": stats.xyz_gradient_accum,
+            "denom": stats.denom,
+            "max_radii2d": stats.max_radii2d,
+        },
+        "meta": jnp.asarray(
+            [iteration, spatial_lr_scale, gaussians.active_sh_degree, gaussians.max_sh_degree],
+            jnp.float32,
+        ),
+    }
+
+
+def orbax_restore_state(tree: dict):
+    """Inverse of orbax_payload (shapes come from the snapshot, so resume
+    works across capacity growth). Returns (scene, adam, stats, iteration,
+    spatial_lr_scale)."""
+    from gaussian_transformer_tpu.scene.gaussians import GaussianScene
+
+    meta = np.asarray(tree["meta"])
+    scene = GaussianScene(
+        alive=jnp.asarray(tree["alive"]),
+        active_sh_degree=int(meta[2]),
+        max_sh_degree=int(meta[3]),
+        **{k: jnp.asarray(v) for k, v in tree["param"].items()},
+    )
+    adam = AdamState(
+        mu={k: jnp.asarray(v) for k, v in tree["adam"]["mu"].items()},
+        nu={k: jnp.asarray(v) for k, v in tree["adam"]["nu"].items()},
+        counts={k: jnp.asarray(v) for k, v in tree["adam"]["counts"].items()},
+    )
+    stats = DensifyStats(
+        xyz_gradient_accum=jnp.asarray(tree["stats"]["accum"]),
+        denom=jnp.asarray(tree["stats"]["denom"]),
+        max_radii2d=jnp.asarray(tree["stats"]["max_radii2d"]),
+    )
+    return scene, adam, stats, int(meta[0]), float(meta[1])
+
+
 def training(
     scene_obj,
     opt: OptConfig,
@@ -180,6 +225,8 @@ def training(
     capacity_headroom: float = 4.0,
     progress: bool = True,
     viewer: bool = False,
+    orbax_dir: Optional[str] = None,
+    orbax_every: int = 0,
 ):
     """The full train.py loop against a Scene orchestrator object.
 
@@ -200,6 +247,24 @@ def training(
     if start_checkpoint:
         payload = dict(np.load(start_checkpoint, allow_pickle=False))
         gaussians, adam, stats, first_iter, spatial_lr_scale = restore(payload)
+
+    # Orbax (async, atomic, bounded-history) checkpointing layer: save every
+    # ``orbax_every`` iterations under ``orbax_dir``; auto-resume from the
+    # latest snapshot when one exists (unless an explicit npz checkpoint was
+    # given). §5 fleet mechanism; the npz paths stay for reference parity.
+    orbax_mgr = None
+    if orbax_dir:
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        assert orbax_ckpt.available(), "orbax requested but orbax.checkpoint missing"
+        orbax_mgr = orbax_ckpt.make_manager(orbax_dir)
+        if start_checkpoint is None:
+            snap = orbax_ckpt.restore_raw(orbax_mgr)
+            if snap is not None:
+                gaussians, adam, stats, first_iter, spatial_lr_scale = (
+                    orbax_restore_state(snap)
+                )
+                print(f"resumed from orbax step {first_iter} ({orbax_dir})")
 
     bg = jnp.ones(3, jnp.float32) if white_background else jnp.zeros(3, jnp.float32)
     key = jax.random.PRNGKey(seed)
@@ -253,7 +318,10 @@ def training(
 
         if not viewpoint_stack:
             viewpoint_stack = list(cameras)
-        cam = viewpoint_stack.pop(rng.randint(len(viewpoint_stack)))
+        # anonymize: the camera's identity metadata is static in the pytree —
+        # without stripping it, every distinct camera keys its own jit trace
+        # and retained executable.
+        cam = viewpoint_stack.pop(rng.randint(len(viewpoint_stack))).anonymize()
 
         step_bg = bg
         if opt.random_background:
@@ -316,7 +384,23 @@ def training(
                 os.path.join(scene_obj.model_path, f"chkpnt{iteration}.npz"),
                 **capture(gaussians, adam, stats, iteration, spatial_lr_scale),
             )
+        if orbax_mgr is not None and orbax_every and iteration % orbax_every == 0:
+            from gaussian_transformer_tpu.train import orbax_ckpt
 
+            orbax_ckpt.save(
+                orbax_mgr, iteration,
+                orbax_payload(gaussians, adam, stats, iteration, spatial_lr_scale),
+            )
+
+    if orbax_mgr is not None:
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        if orbax_mgr.latest_step() != opt.iterations:
+            orbax_ckpt.save(
+                orbax_mgr, opt.iterations,
+                orbax_payload(gaussians, adam, stats, opt.iterations, spatial_lr_scale),
+            )
+        orbax_mgr.wait_until_finished()
     scene_obj.gaussians = gaussians
     return gaussians
 
@@ -330,7 +414,7 @@ def evaluate_psnr(gaussians, cameras, render_cfg=RenderConfig(), bg=None, max_ca
     render_fn = jax.jit(lambda cam: render(cam, gaussians, render_cfg, bg_color=bg)["render"])
     psnrs, l1s = [], []
     for cam in cams:
-        img = jnp.clip(render_fn(cam), 0.0, 1.0)
+        img = jnp.clip(render_fn(cam.anonymize()), 0.0, 1.0)
         gt = jnp.clip(cam.original_image, 0.0, 1.0)
         psnrs.append(float(jnp.mean(psnr(img, gt))))
         l1s.append(float(l1_loss(img, gt)))

@@ -136,7 +136,7 @@ class TrainingScene:
 
     def _visibility(self, cam_idx: int) -> np.ndarray:
         if cam_idx not in self._vis_cache:
-            vis = self._vis_fn(self.cameras[cam_idx])
+            vis = self._vis_fn(self.cameras[cam_idx].anonymize())
             self._vis_cache[cam_idx] = np.asarray(vis)[: self.n_alive]
         return self._vis_cache[cam_idx]
 
@@ -156,7 +156,10 @@ class TrainingScene:
         cams = []
         for i in cam_idxs:
             vis |= self._visibility(i)
-            cams.append(self.cameras[i])
+            # anonymize: distinct camera identities in the batch pytree would
+            # otherwise key a fresh jit trace per camera COMBINATION (the
+            # campaign's host-RSS leak / step-time drift).
+            cams.append(self.cameras[i].anonymize())
 
         seen = np.asarray(self.tokens)[vis]
         seen = seen[: (len(seen) // fold) * fold]

@@ -28,7 +28,9 @@ def render_set(model_path, name, iteration, views, gaussians, render_cfg, backgr
 
     render_fn = jax.jit(lambda view: render(view, gaussians, render_cfg, bg_color=background)["render"])
     for idx, view in enumerate(views):
-        img = np.clip(np.asarray(render_fn(view)), 0.0, 1.0)
+        # anonymize: camera identity is static in the pytree — without it each
+        # view would retrace/recompile render_fn.
+        img = np.clip(np.asarray(render_fn(view.anonymize())), 0.0, 1.0)
         gt = np.clip(np.asarray(view.original_image), 0.0, 1.0)
         for arr, path in ((img, render_path), (gt, gts_path)):
             Image.fromarray((arr.transpose(1, 2, 0) * 255).astype(np.uint8)).save(

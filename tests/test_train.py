@@ -6,6 +6,7 @@ import math
 import types
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -265,3 +266,81 @@ class TestTrainStep:
         assert it == 42 and slrs == 3.5
         np.testing.assert_array_equal(np.asarray(scene2.xyz), np.asarray(start.xyz))
         assert scene2.active_sh_degree == start.active_sh_degree
+
+
+class TestCameraJitStability:
+    """Distinct camera identities must NOT key distinct jit traces (the
+    round-2 campaign's ~10 GB/h host leak: uid/colmap_id/image_name are
+    static pytree fields, so un-anonymized cameras retained one trace +
+    executable per camera combination)."""
+
+    def test_anonymize_unifies_treedefs(self):
+        _, cams = _synthetic_scene_and_cams(n=8, n_cams=3)
+        defs = {jax.tree_util.tree_structure(c.anonymize()) for c in cams}
+        assert len(defs) == 1
+        # and un-anonymized cameras really do differ (the hazard exists)
+        raw = {jax.tree_util.tree_structure(c) for c in cams}
+        assert len(raw) == len(cams)
+
+    def test_stack_cameras_treedef_independent_of_leader(self):
+        from gaussian_transformer_tpu.parallel.step import stack_cameras
+
+        _, cams = _synthetic_scene_and_cams(n=8, n_cams=4)
+        a = stack_cameras([cams[0], cams[1]])
+        b = stack_cameras([cams[2], cams[3]])
+        assert jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)
+
+    def test_train_loop_traces_once_across_cameras(self):
+        traces = []
+
+        @jax.jit
+        def probe(cam):
+            traces.append(1)
+            return cam.world_view_transform.sum()
+
+        _, cams = _synthetic_scene_and_cams(n=8, n_cams=4)
+        for c in cams:
+            probe(c.anonymize())
+        assert len(traces) == 1
+
+
+class TestOrbaxResume:
+    def test_training_resumes_from_orbax_snapshot(self, tmp_path):
+        """Kill-and-resume through the Orbax layer: a first run snapshots
+        every 10 iters; a second run with a longer horizon must auto-resume
+        from the latest snapshot instead of starting over."""
+        pytest.importorskip("orbax.checkpoint")
+        start, cams = _synthetic_scene_and_cams(n=16, n_cams=3)
+
+        def make_obj():
+            obj = types.SimpleNamespace(
+                gaussians=start,
+                cameras_extent=2.0,
+                model_path=str(tmp_path),
+                get_train_cameras=lambda scale=1.0: cams,
+                get_test_cameras=lambda scale=1.0: [],
+            )
+            obj.save = lambda it: None
+            return obj
+
+        cfg = RenderConfig(max_per_tile=64)
+        opt1 = OptConfig(iterations=20, densify_from_iter=10**9, position_lr_max_steps=60)
+        training(make_obj(), opt1, cfg, progress=False,
+                 orbax_dir=str(tmp_path / "run"), orbax_every=10)
+
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        mgr = orbax_ckpt.make_manager(str(tmp_path / "run"))
+        assert mgr.latest_step() == 20
+
+        # resume: the second run must pick up at iteration 20, run 20 more.
+        seen = []
+        opt2 = OptConfig(iterations=40, densify_from_iter=10**9, position_lr_max_steps=60)
+        training(
+            make_obj(), opt2, cfg, progress=False,
+            orbax_dir=str(tmp_path / "run"), orbax_every=10,
+            log_fn=lambda iteration, **kw: seen.append(iteration),
+        )
+        assert min(seen) == 21, seen[:3]  # resumed, not restarted
+        mgr = orbax_ckpt.make_manager(str(tmp_path / "run"))
+        assert mgr.latest_step() == 40

@@ -115,7 +115,9 @@ def main():
             print(epoch)
             viewpoint_stack = list(scene.get_train_cameras())
             for _ in range(len(viewpoint_stack)):
-                cam = viewpoint_stack.pop(rng.randint(len(viewpoint_stack)))
+                # anonymize: camera identity is static in the pytree and would
+                # otherwise key one jit trace per camera.
+                cam = viewpoint_stack.pop(rng.randint(len(viewpoint_stack))).anonymize()
                 vis = vis_fn(cam)
                 data = f_gaussians[vis][None]  # [1, Lv, 26]
 
