@@ -34,8 +34,48 @@ from gaussian_transformer_tpu.render.stream import (
     PROPS_F,
     _composite_stream_tiles,
     pack_props,
+    stream_gather,
 )
 from gaussian_transformer_tpu.render.tiles import TILE
+
+
+def _butterfly_fold(color, final_t, axis: str, D: int):
+    """All-reduce of the ordered front-to-back operator
+    ``(C, T) o (C', T') = (C + T*C', T*T')`` over mesh axis ``axis``.
+
+    XOR recursive doubling: at step s each device exchanges its aligned
+    2^s-segment product with partner ``idx ^ 2^s`` (one ppermute pair) and
+    composes lower-index-first — associativity gives every device the full
+    ordered product after log2(D) steps. Traffic per device is
+    O(T*P*log D) vs the previous all-gather's O(T*P*D), and the fold work is
+    no longer replicated D times. Falls back to the gather fold for
+    non-power-of-two D (meshes here are 2^k).
+    """
+    if D & (D - 1):  # non-power-of-two: simple gather fold
+        colors = jax.lax.all_gather(color, axis)
+        ts = jax.lax.all_gather(final_t, axis)
+        acc_c, acc_t = colors[0], ts[0]
+        for d in range(1, D):
+            acc_c = acc_c + acc_t * colors[d]
+            acc_t = acc_t * ts[d]
+        return acc_c, acc_t
+
+    idx = jax.lax.axis_index(axis)
+    acc_c, acc_t = color, final_t
+    s = 1
+    while s < D:
+        perm = [(d, d ^ s) for d in range(D)]
+        oth_c = jax.lax.ppermute(acc_c, axis, perm)
+        oth_t = jax.lax.ppermute(acc_t, axis, perm)
+        lower = (idx & s) != 0  # partner owns the lower-index segment
+        lo_c = jnp.where(lower, oth_c, acc_c)
+        lo_t = jnp.where(lower, oth_t, acc_t)
+        hi_c = jnp.where(lower, acc_c, oth_c)
+        hi_t = jnp.where(lower, acc_t, oth_t)
+        acc_c = lo_c + lo_t * hi_c
+        acc_t = lo_t * hi_t
+        s *= 2
+    return acc_c, acc_t
 
 
 def stream_image_tile_sharded(
@@ -56,7 +96,10 @@ def stream_image_tile_sharded(
     T = grid_w * grid_h
     D = mesh.shape[axis]
     props_full = pack_props(means2d_s, conics_s, rgbs_s, opac_s)  # [C+1, 16]
-    props = props_full[binned.stream_gauss]  # [I_pad, 16]; bwd = segment add
+    props = stream_gather(
+        props_full, binned.stream_gauss, binned.pos_unsorted,
+        binned.gauss_offsets, binned.gauss_cov,
+    )  # [I_pad, 16]; bwd = permutation gather + cumsum segment sums
 
     I_pad = props.shape[0]
     G = binned.chunk_tile.shape[0]
@@ -76,13 +119,7 @@ def stream_image_tile_sharded(
         covered_l = jnp.zeros((T + 1,), bool).at[ct_l].set(True)[:T]
         final_t = jnp.where(covered_l[:, None, None], final_t, 1.0)
         color = jnp.where(covered_l[:, None, None], color, 0.0)
-        colors = jax.lax.all_gather(color, axis)  # [D, T, 3, P]
-        ts = jax.lax.all_gather(final_t, axis)  # [D, T, 1, P]
-        acc_c, acc_t = colors[0], ts[0]
-        for d in range(1, D):
-            acc_c = acc_c + acc_t * colors[d]
-            acc_t = acc_t * ts[d]
-        return acc_c, acc_t
+        return _butterfly_fold(color, final_t, axis, D)
 
     # check_vma off: pallas_call's out_shapes carry no varying-mesh-axes
     # annotation, which the new shard_map vma checker would reject.

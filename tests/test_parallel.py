@@ -320,3 +320,115 @@ class TestTileShardedCompositing:
             np.asarray(st1.xyz_gradient_accum),
             atol=1e-4,
         )
+
+
+class TestStackedFSDP:
+    """FSDP-style sharding of the stacked transformer (parallel/fsdp.py):
+    params + optimizer state sharded over the mesh, XLA SPMD inserts the
+    per-layer gathers/reduces. Loss and updated params must match the
+    unsharded run."""
+
+    def test_sharded_step_matches_unsharded(self):
+        import optax
+
+        from gaussian_transformer_tpu.models.transformer import init_model, make_model
+        from gaussian_transformer_tpu.parallel.fsdp import (
+            fsdp_shardings,
+            make_fsdp_mesh,
+            shard_tree,
+        )
+        from gaussian_transformer_tpu.train.stacked import make_train_step
+        from tests.test_stacked import STACK_S, make_tscene
+
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        ts = make_tscene()
+        ts.set_epoch(1000)
+        batch = ts.make_batch([0, 1])
+        # d_model must divide the axis size for the big matrices to shard.
+        from gaussian_transformer_tpu.train.stacked import stacked_token_dim
+
+        model = make_model(STACK_S, stacked_token_dim(STACK_S), stacked_token_dim(STACK_S),
+                           N=1, d_model=stacked_token_dim(STACK_S), dropout=0.0)
+        params0 = init_model(model, jax.random.PRNGKey(3))
+        optimizer = optax.adam(1.0, eps=1e-4)
+        step = make_train_step(model, ts.handler, ts.render_cfg, optimizer, STACK_S)
+
+        def run(params, opt_state):
+            outs = []
+            for _ in range(2):
+                params, opt_state, loss, _ = step(
+                    params, opt_state, batch.src, batch.trg_y, batch.cameras,
+                    jnp.asarray(5e-4),
+                )
+                outs.append(float(loss))
+            return params, outs
+
+        # Unsharded single-device baseline.
+        p_ref, losses_ref = run(params0, optimizer.init(params0))
+
+        # Sharded: params + optimizer state over an 8-way fsdp mesh. A tiny
+        # min_size so the test model's matrices actually shard.
+        mesh = make_fsdp_mesh(devices[:8])
+        p_sh = shard_tree(params0, mesh, min_size=1024)
+        o_sh = jax.device_put(
+            optimizer.init(params0), fsdp_shardings(optimizer.init(params0), mesh, min_size=1024)
+        )
+        # at least one leaf must actually be sharded for this test to mean anything
+        specs = jax.tree.leaves(
+            jax.tree.map(lambda s: s.spec, fsdp_shardings(params0, mesh, min_size=1024)),
+            is_leaf=lambda x: hasattr(x, "index") or x is None,
+        )
+        assert any(any(p is not None for p in s) for s in specs if s is not None)
+
+        p_out, losses_sh = run(p_sh, o_sh)
+
+        np.testing.assert_allclose(losses_sh, losses_ref, rtol=2e-4)
+        for a, b in zip(jax.tree.leaves(p_out), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
+class TestButterflyFoldCollectives:
+    """The tile-sharded fold must be the butterfly (log-D ppermute pairs),
+    not the round-2 all-gather of full per-device frames: per-device traffic
+    O(T*P*log D) with NO all-gather of size O(D*T*P) (round-3 verdict #4)."""
+
+    def test_fold_hlo_has_no_full_frame_gather(self):
+        from gaussian_transformer_tpu.parallel.audit import (
+            collective_report,
+            hlo_of_compiled,
+        )
+        from gaussian_transformer_tpu.parallel.tile_shard import render_tile_sharded
+
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual devices")
+        scene, cams = _setup()
+        cam = cams[0]
+        mesh = make_mesh(devices[:8], data=1)
+        cfg = RenderConfig(use_pallas=True, use_stream=True)
+        bg = jnp.zeros(3)
+        D = 8
+
+        fn = jax.jit(lambda s: render_tile_sharded(cam, s, cfg, mesh, bg_color=bg)["render"])
+        compiled = fn.lower(scene).compile()
+        try:
+            hlo = hlo_of_compiled(compiled)
+        except Exception:
+            hlo = compiled.as_text()
+        report = collective_report(hlo)
+        # frame payload: [T, 4, P] f32 per device (color 3 rows + T 1 row)
+        from gaussian_transformer_tpu.render.tiles import TILE, num_tiles
+
+        T = num_tiles(cam.image_width) * num_tiles(cam.image_height)
+        frame_bytes = T * 4 * TILE * TILE * 4
+        perms = [c for c in report if c.op == "collective-permute"]
+        assert perms, f"no ppermute in fold HLO: {[c.op for c in report]}"
+        gathers = [c for c in report if c.op == "all-gather"]
+        for g in gathers:
+            assert g.bytes < frame_bytes * (D - 1), (
+                f"all-gather of {g.bytes}B looks like the old D-way frame "
+                f"gather (frame={frame_bytes}B, D={D}): {g}"
+            )

@@ -39,6 +39,16 @@ def main():
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--run_name", type=str, default=None)
     parser.add_argument("--checkpoint_every", type=int, default=50)
+    parser.add_argument(
+        "--fsdp", type=int, default=0,
+        help="shard parameters + optimizer state FSDP-style over this many "
+             "devices (parallel/fsdp.py); 0 = single-device",
+    )
+    parser.add_argument(
+        "--orbax", action="store_true",
+        help="checkpoint via Orbax (async/atomic/bounded history) under "
+             "run_name/orbax and auto-resume from the latest snapshot",
+    )
     args = parser.parse_args(sys.argv[1:])
 
     print("Optimizing " + args.model_path)
@@ -93,7 +103,20 @@ def main():
         "runs/" + datetime.datetime.fromtimestamp(time.time()).strftime("%a_%d_%b_%I_%M%p")
     )
     first_epoch = 0
-    if os.path.exists(run_name):
+    orbax_mgr = None
+    if args.orbax:
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        assert orbax_ckpt.available(), "--orbax requested but orbax.checkpoint missing"
+        orbax_mgr = orbax_ckpt.make_manager(run_name)
+        snap = orbax_ckpt.restore(
+            orbax_mgr, {"params": params, "opt_state": opt_state}
+        )
+        if snap is not None:
+            params, opt_state = snap["params"], snap["opt_state"]
+            first_epoch = orbax_mgr.latest_step() + 1
+            print(f"resumed from orbax epoch {first_epoch - 1}")
+    if first_epoch == 0 and os.path.exists(run_name):
         max_iter = search_for_max_iteration(run_name)
         if max_iter is not None:
             print(f"loading Model iter {max_iter}")
@@ -108,6 +131,18 @@ def main():
         tb_writer = SummaryWriter(f"logs/{run_name}/base/")
     except Exception:
         pass
+
+    if args.fsdp:
+        from gaussian_transformer_tpu.parallel.fsdp import (
+            fsdp_shardings,
+            make_fsdp_mesh,
+            shard_tree,
+        )
+
+        mesh = make_fsdp_mesh(jax.devices()[: args.fsdp])
+        params = shard_tree(params, mesh)
+        opt_state = jax.device_put(opt_state, fsdp_shardings(opt_state, mesh))
+        print(f"FSDP: params+optimizer sharded over {args.fsdp} devices")
 
     step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, args.stack)
     drop_base = jax.random.PRNGKey(42)  # model.train(): dropout active per step
@@ -159,12 +194,22 @@ def main():
                 tb_writer.add_scalar("lr", scheduler.lr, epoch)
                 tb_writer.add_scalar("dropout", tscene.dropout, epoch)
             if epoch % args.checkpoint_every == 0 and epoch > first_epoch:
-                save_checkpoint(run_name, epoch, params, opt_state)
+                if orbax_mgr is not None:
+                    from gaussian_transformer_tpu.train import orbax_ckpt
+
+                    # async: training does not stall on the snapshot write
+                    orbax_ckpt.save(
+                        orbax_mgr, epoch, {"params": params, "opt_state": opt_state}
+                    )
+                else:
+                    save_checkpoint(run_name, epoch, params, opt_state)
         except (RuntimeError, FloatingPointError) as e:
             # Crash-save semantics (train_stacked_transformer.py:392-398).
             print(e)
             save_checkpoint(run_name, epoch, params, opt_state)
 
+    if orbax_mgr is not None:
+        orbax_mgr.wait_until_finished()
     print("\nTraining complete.")
 
 
