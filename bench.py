@@ -183,8 +183,10 @@ def _check_tpu_tunnel():
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--scale", action="store_true",
-                        help="also sweep 200k / 1M Gaussian scenes")
+    parser.add_argument("--scale", action="store_true", default=True,
+                        help="also sweep 200k / 1M Gaussian scenes (default on; "
+                        "--no-scale for the headline only)")
+    parser.add_argument("--no-scale", dest="scale", action="store_false")
     parser.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
                         help="compositor property-stream precision (bf16: "
                         "half the kernel's dominant HBM read, lossy)")
@@ -205,29 +207,41 @@ def main():
 
     res = bench_step(_table_scene(pcd), cam, extent, precision=args.precision)
     pixels_per_s = res["pixels_per_s"]
-    print(
-        json.dumps(
-            {
-                "metric": "train_step pixels/s per chip (fwd+bwd, 1080p, 17.6k gaussians)",
-                "value": round(pixels_per_s, 1),
-                "unit": "pixels/s",
-                "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
-            }
-        )
-    )
+    record = {
+        "metric": "train_step pixels/s per chip (fwd+bwd, 1080p, 17.6k gaussians)",
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
+    }
 
     if args.scale:
+        import sys
+
         rows = [res]
         for n in (200_000, 1_000_000):
             rows.append(bench_step(_densified_scene(pcd, n), cam, extent))
-        print("| Gaussians | instances | overflow | ms/step | MPix/s | vs CUDA baseline |")
-        print("|---|---|---|---|---|---|")
+        # Human-readable table on stderr; the sweep also rides in the ONE
+        # stdout JSON line so the driver's record captures it.
+        print("| Gaussians | instances | overflow | ms/step | MPix/s | vs CUDA baseline |", file=sys.stderr)
+        print("|---|---|---|---|---|---|", file=sys.stderr)
         for r in rows:
             print(
                 f"| {r['n_gaussians']:,} | {r['n_instances']:,} | {r['overflow']} "
                 f"| {r['ms_per_step']:.1f} | {r['pixels_per_s']/1e6:.1f} "
-                f"| {r['pixels_per_s']/BASELINE_PIXELS_PER_S:.2f}x |"
+                f"| {r['pixels_per_s']/BASELINE_PIXELS_PER_S:.2f}x |",
+                file=sys.stderr,
             )
+        record["scale_sweep"] = [
+            {
+                "n_gaussians": r["n_gaussians"],
+                "ms_per_step": round(r["ms_per_step"], 1),
+                "mpix_per_s": round(r["pixels_per_s"] / 1e6, 2),
+                "vs_baseline": round(r["pixels_per_s"] / BASELINE_PIXELS_PER_S, 4),
+            }
+            for r in rows
+        ]
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

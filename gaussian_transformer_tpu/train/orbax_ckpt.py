@@ -65,3 +65,14 @@ def restore(mgr, like: Any, step: Optional[int] = None) -> Any:
         return None
     like = jax.tree.map(lambda x: x, like)  # shallow copy of the structure
     return mgr.restore(step, args=ocp.args.StandardRestore(like))
+
+
+def restore_raw(mgr, step: Optional[int] = None) -> Any:
+    """Restore the latest (or given) step with the SAVED shapes/dtypes (no
+    ``like`` tree) — needed when the live state's static shapes may have
+    drifted since the save (e.g. the splat trainer's capacity growth).
+    Returns None if no checkpoint exists."""
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        return None
+    return mgr.restore(step)

@@ -88,25 +88,32 @@ def test_train_render_metrics_cli(tmp_path):
     model_dir = str(tmp_path / "model")
     build_colmap_scene(scene_dir)
 
+    # 400 iterations with the demonstrated recovery LRs (test_quality.py's
+    # recipe) so the end-to-end chain reaches real quality, not just "ran".
+    it = "400"
     run_cli(
         [
             "train.py", "-s", scene_dir, "-m", model_dir, "--eval", "--quiet",
-            "--iterations", "30", "--test_iterations", "30", "--save_iterations", "30",
+            "--iterations", it, "--test_iterations", it, "--save_iterations", it,
             "--densify_from_iter", "1000",
+            "--feature_lr", "0.01", "--opacity_lr", "0.1", "--scaling_lr", "0.01",
         ]
     )
-    ply = os.path.join(model_dir, "point_cloud/iteration_30/point_cloud.ply")
+    ply = os.path.join(model_dir, f"point_cloud/iteration_{it}/point_cloud.ply")
     assert os.path.exists(ply)
     assert os.path.exists(os.path.join(model_dir, "cfg_args"))
     assert os.path.exists(os.path.join(model_dir, "cameras.json"))
     assert os.path.exists(os.path.join(model_dir, "input.ply"))
 
     run_cli(["render.py", "-m", model_dir, "--quiet"])
-    renders = os.path.join(model_dir, "test/ours_30/renders")
+    renders = os.path.join(model_dir, f"test/ours_{it}/renders")
     assert len(os.listdir(renders)) > 0
 
     run_cli(["metrics.py", "-m", model_dir])
     with open(os.path.join(model_dir, "results.json")) as f:
         results = json.load(f)
-    psnr = results["ours_30"]["PSNR"]
-    assert np.isfinite(psnr) and psnr > 10, results
+    psnr = results[f"ours_{it}"]["PSNR"]
+    # Quality gate on the WHOLE chain (train CLI -> render CLI -> metrics
+    # CLI): the demonstrated recovery level, so a silent 15 dB regression in
+    # any stage fails loudly (round-2 verdict item).
+    assert np.isfinite(psnr) and psnr >= 25.0, results

@@ -112,6 +112,111 @@ def build_scene_stub(n_cams=32, width=320, height=240):
     return SceneStub()
 
 
+def run_eval(args):
+    """End-of-campaign quality eval (judge-requested): rebuild the campaign
+    scene + model, load the LATEST checkpoint, greedy-decode one held-out
+    window deterministically, and record (a) chamfer between decoded and
+    target gaussian lists, (b) PSNR of the decoded scene rendered vs the
+    target scene rendered over the camera ring. Writes <out>/EVAL.md."""
+    if args.smoke:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    if args.smoke or os.environ.get("GT_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ.get("GT_PLATFORM", "cpu"))
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gt_jax_cache")
+
+    import jax.numpy as jnp
+    import optax
+
+    from gaussian_transformer_tpu.models.transformer import make_model, init_model
+    from gaussian_transformer_tpu.ops.chamfer import chamfer_distance
+    from gaussian_transformer_tpu.render import RenderConfig, render
+    from gaussian_transformer_tpu.train.stacked import (
+        TrainingScene,
+        fuzzy_token_equal,
+        greedy_decode,
+        load_checkpoint,
+        pad_token,
+        stacked_token_dim,
+        unstack_tokens,
+    )
+    from gaussian_transformer_tpu.models.codec import unflatten_gaussians
+    from gaussian_transformer_tpu.utils.image import psnr as psnr_fn
+
+    stack = 4 if args.smoke else 8
+    D = stacked_token_dim(stack)
+    scene_obj = build_scene_stub(
+        n_cams=8 if args.smoke else 32,
+        width=160 if args.smoke else 320,
+        height=120 if args.smoke else 240,
+    )
+    render_cfg = RenderConfig(use_pallas=not args.smoke)
+    tscene = TrainingScene(
+        scene_obj, render_cfg, batch_size=args.batch_size, stack=stack,
+        bucket=8 if args.smoke else args.bucket,
+    )
+    model = make_model(
+        stack, D, D, N=2, d_model=D,
+        dtype=jnp.bfloat16, param_dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+    )
+    params = init_model(model, jax.random.PRNGKey(0))
+    optimizer = optax.adafactor(learning_rate=1.0, min_dim_size_to_factor=128)
+    opt_state = optimizer.init(params)
+
+    tags = [d.split("_step")[1] for d in os.listdir(args.out)
+            if d.startswith("checkpoint_step")]
+    assert tags, f"no checkpoint_step* under {args.out}"
+    latest = max(int(t) for t in tags)
+    params, _ = load_checkpoint(args.out, f"step{latest}", params, opt_state)
+    print(f"evaluating checkpoint_step{latest}")
+
+    # Deterministic held-out window: fixed rng, mid-training dropout schedule.
+    tscene.rng = np.random.RandomState(1234)
+    tscene.set_epoch(50)
+    batch = tscene.make_batch(list(range(min(4, tscene.size))))
+    assert batch is not None
+
+    pred = greedy_decode(model, params, batch.src, batch.src_mask,
+                         batch.trg_y.shape[1] + 1, stack)[:, 1:]
+    pred_list = unstack_tokens(pred[0], stack)
+    tgt_list = unstack_tokens(batch.trg_y[0], stack)
+    valid_fat = ~fuzzy_token_equal(batch.trg_y[0], pad_token(stack))
+    valid = jnp.repeat(valid_fat, 2**stack)
+    n_valid = float(jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0))
+    d1, d2, _, _ = chamfer_distance(
+        pred_list[None], tgt_list[None], a_valid=valid[None], b_valid=valid[None]
+    )
+    chamfer = float(jnp.sum(d1)) / n_valid + float(jnp.sum(d2)) / n_valid
+
+    g_pred = tscene.handler.denormalize(unflatten_gaussians(pred_list)).replace(alive=valid)
+    g_tgt = tscene.handler.denormalize(unflatten_gaussians(tgt_list)).replace(alive=valid)
+    rfn = jax.jit(lambda cam, g: jnp.clip(
+        jnp.nan_to_num(render(cam, g, render_cfg)["render"]), 0.0, 1.0))
+    psnrs = []
+    for cam in [c.anonymize() for c in scene_obj.get_train_cameras()[:8]]:
+        a = rfn(cam, g_pred)
+        b = rfn(cam, g_tgt)
+        psnrs.append(float(jnp.mean(psnr_fn(a, b))))
+    mean_psnr = float(np.mean(psnrs))
+
+    lines = [
+        "# End-of-campaign quality eval",
+        "",
+        f"checkpoint_step{latest}; held-out window {int(n_valid)} gaussians "
+        f"({batch.trg_y.shape[1]} fat tokens), decoded autoregressively.",
+        "",
+        f"* chamfer (decoded vs target, per gaussian): **{chamfer:.4f}**",
+        f"* PSNR (decoded scene rendered vs target scene rendered, "
+        f"{len(psnrs)} cameras): **{mean_psnr:.2f} dB** "
+        f"(min {min(psnrs):.2f}, max {max(psnrs):.2f})",
+        "",
+    ]
+    with open(os.path.join(args.out, "EVAL.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny model on CPU")
@@ -126,11 +231,19 @@ def main():
                         help="resume from the latest checkpoint_* in --out")
     parser.add_argument("--report-only", action="store_true",
                         help="regenerate RUN.md from the existing loss curve")
+    parser.add_argument("--eval", action="store_true",
+                        help="end-of-campaign quality eval: greedy-decode a "
+                        "held-out window from the latest checkpoint, render "
+                        "decoded vs target over the camera ring, write EVAL.md")
     args = parser.parse_args()
 
     if args.report_only:
         with open(os.path.join(args.out, "meta.json")) as f:
             write_report(args.out, json.load(f))
+        return
+
+    if args.eval:
+        run_eval(args)
         return
 
     if args.smoke:

@@ -38,6 +38,9 @@ def main():
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    # Orbax layer (async/atomic/bounded-history snapshots + auto-resume from
+    # the latest one). 0 disables; the npz chkpnt path above stays for parity.
+    parser.add_argument("--orbax_every", type=int, default=0)
     args = parser.parse_args(sys.argv[1:])
     args.save_iterations.append(args.iterations)
 
@@ -129,6 +132,8 @@ def main():
         log_fn=log_fn,
         progress=not args.quiet,
         viewer=viewer_ok,
+        orbax_dir=dataset.model_path if args.orbax_every else None,
+        orbax_every=args.orbax_every,
     )
 
     print("\nTraining complete.")
