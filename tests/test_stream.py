@@ -240,3 +240,91 @@ class TestBF16Stream:
             np.testing.assert_allclose(b, a, atol=0.12 * scale, err_msg=name)
             frac_tight = np.mean(np.abs(b - a) <= 0.05 * scale)
             assert frac_tight > 0.97, f"{name}: {frac_tight:.3f} within 5%"
+
+
+class TestSuperchunkBoundaries:
+    """Directly pin the v3 kernel's cross-PROGRAM carry + flush logic:
+    synthetic streams where tile runs span the BLOCK_ROWS program boundary,
+    single-chunk tiles force back-to-back flushes, and the final tile ends
+    exactly at the grid edge. Compared against a dense numpy reference."""
+
+    def _ref(self, props, chunk_tile, chunk, T):
+        P = 256
+        props = np.asarray(props, np.float64)
+        color = np.zeros((T + 1, 3, P)); color[:] = np.nan
+        tmap = np.ones((T + 1, 1, P)); tmap[:] = np.nan
+        px = np.arange(P) % 16; py = np.arange(P) // 16
+        G = len(chunk_tile)
+        cur = -1; acc_c = None; acc_t = None; live = None
+        for g in range(G):
+            t = int(chunk_tile[g])
+            if t != cur:
+                if cur >= 0:
+                    color[cur], tmap[cur] = acc_c, acc_t
+                cur = t
+                acc_c = np.zeros((3, P)); acc_t = np.ones((1, P)); live = np.ones((1, P))
+            if t >= T:
+                continue
+            tx, ty = t % 4, t // 4  # grid_w = 4 below
+            for r in range(chunk):
+                row = props[g * chunk + r]
+                x, y, a, b, c = row[0], row[1], row[2], row[3], row[4]
+                rgb, opac = row[5:8], row[8]
+                dx = x - (tx * 16 + px); dy = y - (ty * 16 + py)
+                power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+                alpha = np.minimum(0.99, opac * np.exp(np.minimum(power, 0.0)))
+                alpha = np.where((power > 0) | (alpha < 1 / 255), 0.0, alpha)
+                t_in = acc_t[0]
+                trig = (alpha > 0) & (t_in * (1 - alpha) < 1e-4)
+                live[0] = np.where(trig, 0.0, live[0])
+                w = alpha * t_in * live[0]
+                acc_c += rgb[:, None] * w[None]
+                acc_t[0] = t_in * (1 - alpha * live[0])
+        if cur >= 0:
+            color[cur], tmap[cur] = acc_c, acc_t
+        return color[:T], tmap[:T]
+
+    @pytest.mark.parametrize("layout", ["long_run", "singles", "edge_end"])
+    def test_matches_dense_reference(self, layout):
+        from gaussian_transformer_tpu.render.stream import (
+            BLOCK_ROWS,
+            _composite_stream_tiles,
+        )
+
+        chunk = 32
+        T = 16  # grid 4x4
+        rng = np.random.RandomState(hash(layout) % 2**31)
+        if layout == "long_run":
+            # one tile's run spans >2 program boundaries, then short tiles
+            runs = [(0, 5 * BLOCK_ROWS // chunk), (1, 3), (2, 1), (5, 2)]
+        elif layout == "singles":
+            # many single-chunk tiles => back-to-back flushes across programs
+            runs = [(t, 1) for t in range(16)] * 9
+        else:
+            # last real tile ends exactly at a program boundary
+            runs = [(0, 3), (1, BLOCK_ROWS // chunk - 3)]
+        chunk_tile = np.concatenate([[t] * n for t, n in runs]).astype(np.int32)
+        G = len(chunk_tile)
+        I = G * chunk
+        props = np.zeros((I, 16), np.float32)
+        # random gaussians centered in their chunk's tile
+        tx = (chunk_tile % 4)[:, None].repeat(chunk, 1).reshape(-1)
+        ty = (chunk_tile // 4)[:, None].repeat(chunk, 1).reshape(-1)
+        props[:, 0] = tx * 16 + rng.uniform(0, 16, I)
+        props[:, 1] = ty * 16 + rng.uniform(0, 16, I)
+        props[:, 2] = rng.uniform(0.05, 0.3, I)  # conic a
+        props[:, 4] = rng.uniform(0.05, 0.3, I)  # conic c
+        props[:, 5:8] = rng.rand(I, 3)
+        props[:, 8] = rng.uniform(0.1, 0.9, I)
+        # zero out rows of trash-tile chunks (pad semantics)
+        props[np.asarray(chunk_tile >= T)[:, None].repeat(chunk, 1).reshape(-1)] = 0.0
+
+        color, tmap = _composite_stream_tiles(
+            jnp.asarray(props), jnp.asarray(chunk_tile), 4, 4
+        )
+        ref_c, ref_t = self._ref(props, chunk_tile, chunk, T)
+        covered = ~np.isnan(ref_c[:, 0, 0])
+        np.testing.assert_allclose(
+            np.asarray(color)[covered], ref_c[covered], atol=2e-4
+        )
+        np.testing.assert_allclose(np.asarray(tmap)[covered], ref_t[covered], atol=2e-4)
