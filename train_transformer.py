@@ -38,6 +38,11 @@ def main():
         help="shard the token axis over this many devices with exact ring "
         "attention (parallel/ring.py); sequence lengths must divide it. 0 = off",
     )
+    parser.add_argument(
+        "--fsdp", type=int, default=0,
+        help="shard parameters + optimizer state FSDP-style over this many "
+        "devices (parallel/fsdp.py); composable with --attn_block_k. 0 = off",
+    )
     args = parser.parse_args(sys.argv[1:])
     print("Optimizing " + args.model_path)
     # Platform override that works even where PJRT plugins ignore
@@ -97,6 +102,19 @@ def main():
         params = jax.tree_util.tree_unflatten(
             treedef, [jnp.asarray(data[f"arr_{i}"]) for i in range(len(flat))]
         )
+
+    if args.fsdp:
+        assert not args.seq_shard, "--fsdp and --seq_shard shard different axes; pick one"
+        from gaussian_transformer_tpu.parallel.fsdp import (
+            fsdp_shardings,
+            make_fsdp_mesh,
+            shard_tree,
+        )
+
+        fsdp_mesh = make_fsdp_mesh(jax.devices()[: args.fsdp])
+        params = shard_tree(params, fsdp_mesh)
+        opt_state = jax.device_put(opt_state, fsdp_shardings(opt_state, fsdp_mesh))
+        print(f"FSDP: params+optimizer sharded over {args.fsdp} devices")
 
     loss_fn = make_flat_loss(model, render_cfg)
     import optax
