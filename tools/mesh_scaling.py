@@ -33,6 +33,10 @@ import jax
 
 # The axon TPU PJRT plugin ignores JAX_PLATFORMS; force the CPU mesh.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: each mesh config's step takes minutes to compile
+# on the virtual mesh; a killed/rerun sweep should pay it once.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 CAPACITY = 16_384
@@ -99,19 +103,23 @@ def run_config(scene, batch, data, gauss):
     mem = compiled.memory_analysis()
     peak = getattr(mem, "temp_size_in_bytes", 0) + getattr(mem, "argument_size_in_bytes", 0)
 
+    # Drive the jit callable, not the AOT executable: XLA may emit output
+    # shardings (e.g. gauss-sharded stats) that differ from the replicated
+    # inputs, and the AOT object rejects its own outputs on the next call;
+    # jit simply specializes once more and reaches a steady state.
     state = (scene_s, adam, stats)
     it = 1.0
     for _ in range(WARMUP):
-        state = compiled(*state, batch_s, bg, jnp.asarray(it), slrs)[:3]
+        state = step(*state, batch_s, bg, jnp.asarray(it), slrs)[:3]
         it += 1.0
     jax.block_until_ready(state[0].xyz)
     t0 = time.time()
     for _ in range(ITERS):
-        state = compiled(*state, batch_s, bg, jnp.asarray(it), slrs)[:3]
+        state = step(*state, batch_s, bg, jnp.asarray(it), slrs)[:3]
         it += 1.0
     jax.block_until_ready(state[0].xyz)
     dt = (time.time() - t0) / ITERS
-    loss = float(compiled(*state, batch_s, bg, jnp.asarray(it), slrs)[3]["loss"])
+    loss = float(step(*state, batch_s, bg, jnp.asarray(it), slrs)[3]["loss"])
     summary = summarize(report).splitlines()[0] if report else "none"
     return {
         "devices": n, "data": data, "gauss": gauss, "ms": dt * 1e3,
