@@ -143,10 +143,12 @@ def main():
         f"Fixed global work: capacity={CAPACITY} Gaussians, batch={BATCH} cameras "
         f"at {WIDTH}x{HEIGHT}, full sharded train step (fwd+bwd+Adam+stats).",
         "",
-        "CPU caveat: virtual devices share this host's cores, so these times",
-        "measure SPMD partitioning overhead, not ICI speedup — flat-or-better",
-        "step time and shrinking per-device memory are the pass signals. The",
-        "collective audit shows what would ride ICI on a real slice.",
+        f"CPU caveat: this host has {os.cpu_count()} cores, so larger virtual",
+        "meshes run oversubscribed (plus interpret-mode Pallas kernels) —",
+        "wall-clock here measures partitioning + oversubscription overhead,",
+        "not ICI speedup. Pass signals: identical losses across mesh sizes,",
+        "shrinking per-device argument memory, and the collective audit",
+        "(payloads bounded by the projected-splat representation).",
         "",
         "| devices | mesh (data x gauss) | ms/step | vs 1-dev | peak arg+temp MB | collectives |",
         "|---|---|---|---|---|---|",
