@@ -150,6 +150,47 @@ class TrainingScene:
         for group in idxs.reshape(-1, self.batch_size):
             yield self.make_batch(list(group))
 
+    def make_batch_group(self, n_windows: int) -> Optional["StackedBatch"]:
+        """``n_windows`` INDEPENDENT windows stacked on a leading axis for
+        data-parallel training (make_dp_train_step): each window draws its own
+        camera subset and scheduled split; all windows re-pad to the group's
+        common bucketed src/tgt lengths so one array stacks them. Cameras
+        stack to [N, B, ...] leaves."""
+        idxs = np.arange(self.size)
+        self.rng.shuffle(idxs)
+        bs = self.batch_size
+        reps = [[int(idxs[(i * bs + j) % self.size]) for j in range(bs)]
+                for i in range(n_windows)]
+        batches = [self.make_batch(g) for g in reps]
+        if any(b is None for b in batches):
+            return None
+        padt = np.asarray(pad_token(self.stack))
+
+        def repad(arr, want):
+            arr = np.asarray(arr[0])
+            return np.concatenate([arr, np.tile(padt, (want - len(arr), 1))], axis=0)
+
+        ls = max(b.src.shape[1] for b in batches)
+        lt = max(b.trg_y.shape[1] for b in batches)
+        src = jnp.asarray(np.stack([repad(b.src, ls) for b in batches]))
+        trg_full = np.stack(
+            [np.concatenate([np.asarray(b.trg[0, :1]), repad(b.trg_y, lt)], axis=0)
+             for b in batches]
+        )  # [N, lt+1, D] — START + repadded targets
+        trg = jnp.asarray(trg_full[:, :-1])
+        trg_y = jnp.asarray(trg_full[:, 1:])
+        src_mask = ~fuzzy_token_equal(src[:, None, :, :], pad_token(self.stack))
+        from gaussian_transformer_tpu.parallel.step import stack_cameras
+
+        cams = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[stack_cameras(b.cameras) for b in batches]
+        )
+        return StackedBatch(
+            src=src, src_mask=src_mask, trg=trg, trg_y=trg_y,
+            trg_mask=None, cameras=cams,
+            ntokens=sum(b.ntokens for b in batches),
+        )
+
     def make_batch(self, cam_idxs: List[int]) -> Optional[StackedBatch]:
         fold = 2**self.stack
         vis = np.zeros(self.n_alive, bool)
@@ -440,6 +481,51 @@ def make_train_step(model, handler, render_cfg, optimizer, stack: int = STACK):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, src, trg_y, cams, src_mask, dropout_rng
         )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * (lr / 1.0), updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, metrics
+
+    return step
+
+
+def make_dp_train_step(model, handler, render_cfg, optimizer, stack: int = STACK,
+                       mesh=None, axis: str = "data", batch_size: int = 4):
+    """Data-parallel train step over INDEPENDENT windows (one per device on
+    mesh axis ``axis``): each device decodes + renders its own window with
+    its own cameras, gradients pmean across the axis, one replicated
+    optimizer update. Input batch comes from TrainingScene.make_batch_group;
+    composes with bf16/Adafactor. (The reference is single-GPU; this is the
+    ICI scale-out for the flagship generative trainer, alongside FSDP.)"""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    loss_fn = make_loss_fn(model, handler, render_cfg, stack)
+
+    def local(params, src, trg_y, cams, src_mask, rng):
+        # Local shard: src/trg_y [1, L, D]; camera leaves [1, B, ...].
+        cam_list = [jax.tree.map(lambda a, b=b: a[0, b], cams) for b in range(batch_size)]
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, src[0:1], trg_y[0:1], cam_list, src_mask[0:1], rng
+        )
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis), metrics)
+        return loss, grads, metrics
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, src, trg_y, cams, lr, src_mask, dropout_rng=None):
+        if dropout_rng is None:
+            dropout_rng = jax.random.PRNGKey(0)
+        loss, grads, metrics = sharded(params, src, trg_y, cams, src_mask, dropout_rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: u * (lr / 1.0), updates)
         params = optax.apply_updates(params, updates)

@@ -432,3 +432,67 @@ class TestButterflyFoldCollectives:
                 f"all-gather of {g.bytes}B looks like the old D-way frame "
                 f"gather (frame={frame_bytes}B, D={D}): {g}"
             )
+
+
+class TestStackedDP:
+    """Data-parallel windows for the stacked trainer: make_dp_train_step over
+    a 2-device mesh must equal mean-of-window-gradients applied once."""
+
+    def test_dp_step_matches_grad_mean(self):
+        import optax
+
+        from gaussian_transformer_tpu.models.transformer import init_model
+        from gaussian_transformer_tpu.train.stacked import (
+            make_dp_train_step,
+            make_loss_fn,
+        )
+        from tests.test_stacked import STACK_S, make_tscene, small_model
+
+        devices = jax.devices()
+        if len(devices) < 2:
+            pytest.skip("needs 2 virtual devices")
+
+        ts = make_tscene(batch_size=2)
+        ts.set_epoch(1000)
+        ts.rng = np.random.RandomState(5)
+        group = ts.make_batch_group(2)
+        assert group is not None
+
+        model = small_model()
+        params0 = init_model(model, jax.random.PRNGKey(3))
+        optimizer = optax.adam(1.0, eps=1e-4)
+        opt0 = optimizer.init(params0)
+
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(devices[:2]), ("data",))
+        step = make_dp_train_step(model, ts.handler, ts.render_cfg, optimizer,
+                                  STACK_S, mesh=mesh, batch_size=2)
+        p_dp, _, loss_dp, _ = step(
+            params0, opt0, group.src, group.trg_y, group.cameras,
+            jnp.asarray(5e-4), group.src_mask,
+        )
+
+        # Reference: per-window grads with the same per-device rng folding.
+        loss_fn = make_loss_fn(model, ts.handler, ts.render_cfg, STACK_S)
+        base_rng = jax.random.PRNGKey(0)
+        gsum, lsum = None, 0.0
+        for w in range(2):
+            cam_list = [jax.tree.map(lambda a, b=b, w=w: a[w, b], group.cameras)
+                        for b in range(2)]
+            (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params0, group.src[w:w+1], group.trg_y[w:w+1], cam_list,
+                group.src_mask[w:w+1], jax.random.fold_in(base_rng, w),
+            )
+            lsum += float(l)
+            gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+        gmean = jax.tree.map(lambda x: x / 2.0, gsum)
+        updates, _ = optimizer.update(gmean, optimizer.init(params0), params0)
+        updates = jax.tree.map(lambda u: u * 5e-4, updates)
+        import optax as _ox
+
+        p_ref = _ox.apply_updates(params0, updates)
+
+        assert float(loss_dp) == pytest.approx(lsum / 2.0, rel=2e-4)
+        for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-4)

@@ -40,6 +40,11 @@ def main():
     parser.add_argument("--run_name", type=str, default=None)
     parser.add_argument("--checkpoint_every", type=int, default=50)
     parser.add_argument(
+        "--dp", type=int, default=0,
+        help="data-parallel: one independent window per device over this many "
+             "devices, grads pmean'd (train/stacked.make_dp_train_step). 0 = off",
+    )
+    parser.add_argument(
         "--fsdp", type=int, default=0,
         help="shard parameters + optimizer state FSDP-style over this many "
              "devices (parallel/fsdp.py); 0 = single-device",
@@ -144,7 +149,21 @@ def main():
         opt_state = jax.device_put(opt_state, fsdp_shardings(opt_state, mesh))
         print(f"FSDP: params+optimizer sharded over {args.fsdp} devices")
 
-    step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, args.stack)
+    dp_mesh = None
+    if args.dp:
+        assert not args.fsdp, "--dp and --fsdp compose via a 2D mesh (future); pick one"
+        from jax.sharding import Mesh
+
+        from gaussian_transformer_tpu.train.stacked import make_dp_train_step
+
+        dp_mesh = Mesh(np.asarray(jax.devices()[: args.dp]), ("data",))
+        step_fn = make_dp_train_step(
+            model, tscene.handler, render_cfg, optimizer, args.stack,
+            mesh=dp_mesh, batch_size=args.batch_size,
+        )
+        print(f"DP: one window per device over {args.dp} devices")
+    else:
+        step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, args.stack)
     drop_base = jax.random.PRNGKey(42)  # model.train(): dropout active per step
 
     # Viewer hooks (reference handleViewer, train_stacked_transformer.py:284-320):
@@ -170,10 +189,17 @@ def main():
         try:
             tscene.set_epoch(epoch)
             total_loss, total_tokens = 0.0, 0
-            for batch in tscene.batches():
+            if dp_mesh is not None:
+                # One group of args.dp independent windows per step.
+                n_steps = max(1, tscene.size // (args.dp * args.batch_size))
+                batch_iter = (tscene.make_batch_group(args.dp) for _ in range(n_steps))
+            else:
+                batch_iter = tscene.batches()
+            for batch in batch_iter:
                 if batch is None:
                     continue
-                stream.set_batch(params, batch)
+                if dp_mesh is None:
+                    stream.set_batch(params, batch)
                 network_gui.pump_stacked(viewer_train_fn, stream, dataset.source_path)
                 params, opt_state, loss, metrics = step_fn(
                     params, opt_state, batch.src, batch.trg_y, batch.cameras,
