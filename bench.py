@@ -96,7 +96,7 @@ def _densified_scene(pcd, n_target, seed=0):
     )
 
 
-def bench_step(scene, cam, extent, precision="fp32"):
+def bench_step(scene, cam, extent, precision="fp32", use_stream=True):
     """Time ITERS chained train_steps on-device; returns a result dict.
 
     The steps run in ONE on-device fori_loop: the axon tunnel adds ~100ms
@@ -112,7 +112,7 @@ def bench_step(scene, cam, extent, precision="fp32"):
     from gaussian_transformer_tpu.train.splat import OptConfig, train_step
 
     opt = OptConfig()
-    cfg = RenderConfig(max_per_tile=256, precision=precision)
+    cfg = RenderConfig(max_per_tile=256, precision=precision, use_stream=use_stream)
     # Right-size the instance budget to this scene (same policy the trainer
     # applies at startup; binning work is linear in the budget).
     probe = render(cam, scene, cfg)
@@ -205,7 +205,27 @@ def main():
     pcd, center, extent = _base_cloud()
     cam = _camera(center, extent, rng)
 
-    res = bench_step(_table_scene(pcd), cam, extent, precision=args.precision)
+    fallback = False
+    try:
+        res = bench_step(_table_scene(pcd), cam, extent, precision=args.precision)
+    except Exception as e:
+        # Insurance: if the stream kernel hits a compile/runtime surprise on
+        # this chip, still record an official number on the [T, K]-table
+        # kernel path — loudly, so the regression is visible, not masked.
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        sys.stderr.write(
+            f"bench.py: STREAM KERNEL FAILED ({type(e).__name__}); falling "
+            "back to the table-kernel path (use_stream=False). Fix the "
+            "stream path — this fallback is slower.\n"
+        )
+        fallback = True
+        res = bench_step(
+            _table_scene(pcd), cam, extent, precision=args.precision,
+            use_stream=False,
+        )
     pixels_per_s = res["pixels_per_s"]
     record = {
         "metric": "train_step pixels/s per chip (fwd+bwd, 1080p, 17.6k gaussians)",
@@ -213,13 +233,22 @@ def main():
         "unit": "pixels/s",
         "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
     }
+    if fallback:
+        record["stream_kernel_fallback"] = True
 
     if args.scale:
         import sys
 
         rows = [res]
         for n in (200_000, 1_000_000):
-            rows.append(bench_step(_densified_scene(pcd, n), cam, extent))
+            try:
+                rows.append(
+                    bench_step(
+                        _densified_scene(pcd, n), cam, extent, use_stream=not fallback
+                    )
+                )
+            except Exception as e:
+                print(f"bench.py: {n}-Gaussian sweep point failed: {e!r}", file=sys.stderr)
         # Human-readable table on stderr; the sweep also rides in the ONE
         # stdout JSON line so the driver's record captures it.
         print("| Gaussians | instances | overflow | ms/step | MPix/s | vs CUDA baseline |", file=sys.stderr)
