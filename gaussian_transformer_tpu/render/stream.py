@@ -203,14 +203,19 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     chunk_tile_ref, props_ref, tiledata_ref, dprops_ref,
-    tile_scr, pref, t_scr, live_scr, fetch_sem,
+    tile_scr, pref, t_scr, live_scr, slot_ref, fetch_sem,
     *, grid_w, n_tiles, super_, chunk, local_coords=False,
 ):
     """Replay chunks and emit per-instance grads (math identical to the v2
-    kernel, carried across chunks and programs via scratch). On each tile
-    change the tile's residual/cotangent rows ([8, P]: C_total 0:3, T_final
-    3:4, g_color 4:7, g_t 7:8) are DMA'd from the HBM table."""
+    kernel, carried across chunks and programs via scratch). The tile's
+    residual/cotangent rows ([8, P]: C_total 0:3, T_final 3:4, g_color 4:7,
+    g_t 7:8) come from an HBM table with a 1-chunk-lookahead double-buffered
+    prefetch: the chunk map is scalar-prefetched, so the LAST chunk of every
+    tile can start the NEXT tile's fetch into the other slot — the DMA
+    overlaps that chunk's compute instead of stalling the tile start."""
     pid = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    g_last = nprog * super_ - 1
 
     def body(s, _):
         g = pid * super_ + s
@@ -218,14 +223,39 @@ def _bwd_kernel(
         prev = chunk_tile_ref[jnp.maximum(g - 1, 0)]
         is_first = (g == 0) | (t != prev)
 
-        @pl.when(is_first)
+        @pl.when(g == 0)
         def _():
-            cp = pltpu.make_async_copy(tiledata_ref.at[t], tile_scr, fetch_sem)
+            slot_ref[0] = 0
+            cp = pltpu.make_async_copy(tiledata_ref.at[t], tile_scr.at[0], fetch_sem.at[0])
             cp.start()
             cp.wait()
+
+        @pl.when((g > 0) & is_first)
+        def _():
+            # The previous tile's last chunk already started this fetch into
+            # the other slot; swap and wait (usually already complete).
+            nxt = 1 - slot_ref[0]
+            pltpu.make_async_copy(
+                tiledata_ref.at[0], tile_scr.at[nxt], fetch_sem.at[nxt]
+            ).wait()
+            slot_ref[0] = nxt
+
+        @pl.when(is_first)
+        def _():
             pref[:] = jnp.zeros((3, P), jnp.float32)
             t_scr[:] = jnp.ones((1, P), jnp.float32)
             live_scr[:] = jnp.ones((1, P), jnp.float32)
+
+        cur = slot_ref[0]
+
+        # Last chunk of this tile: prefetch the next tile's rows NOW.
+        nxt_t = chunk_tile_ref[jnp.minimum(g + 1, g_last)]
+
+        @pl.when((g < g_last) & (nxt_t != t))
+        def _():
+            pltpu.make_async_copy(
+                tiledata_ref.at[nxt_t], tile_scr.at[1 - cur], fetch_sem.at[1 - cur]
+            ).start()
 
         t_run = t_scr[:]
         live = live_scr[:]
@@ -236,10 +266,10 @@ def _bwd_kernel(
             px, py = _local_pixel_coords() if local_coords else _pixel_coords(t, grid_w)
             blk = props_ref[pl.ds(s * chunk, chunk), :]
             alpha, alpha_raw, rgb, dx, dy, a, b, c, opac = _alpha_math(blk, px, py)
-            c_total = tile_scr[0:3]
-            t_final = tile_scr[3:4]
-            g_color = tile_scr[4:7]
-            g_t = tile_scr[7:8]
+            c_total = tile_scr[cur, 0:3]
+            t_final = tile_scr[cur, 3:4]
+            g_color = tile_scr[cur, 4:7]
+            g_t = tile_scr[cur, 7:8]
 
             t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
             trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
@@ -495,11 +525,12 @@ def _stream_bwd_rule(grid_w, grid_h, precision, residuals, cotangents):
             (super_ * chunk, PROPS_F), lambda g, ct: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, P), jnp.float32),  # fetched tile rows
+            pltpu.VMEM((2, 8, P), jnp.float32),  # double-buffered tile rows
             pltpu.VMEM((3, P), jnp.float32),  # color prefix carry
             pltpu.VMEM((1, P), jnp.float32),  # transmittance carry
             pltpu.VMEM((1, P), jnp.float32),  # live carry
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((1,), jnp.int32),  # resident slot
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dprops = pl.pallas_call(
