@@ -23,7 +23,7 @@ Validated by a sharded==unsharded loss equivalence test on the virtual
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -496,7 +496,13 @@ def make_dp_train_step(model, handler, render_cfg, optimizer, stack: int = STACK
     its own cameras, gradients pmean across the axis, one replicated
     optimizer update. Input batch comes from TrainingScene.make_batch_group;
     composes with bf16/Adafactor. (The reference is single-GPU; this is the
-    ICI scale-out for the flagship generative trainer, alongside FSDP.)"""
+    ICI scale-out for the flagship generative trainer, alongside FSDP.)
+
+    2D composition: pass a ("data", "fsdp") mesh with params/optimizer
+    device_put to their fsdp shardings (parallel/fsdp.fsdp_shardings over
+    this mesh) — only ``axis`` is manual in the shard_map; the fsdp axis
+    stays auto, so the SPMD partitioner keeps parameters sharded inside the
+    per-window region and inserts the per-layer gathers/reduce-scatters."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -518,6 +524,7 @@ def make_dp_train_step(model, handler, render_cfg, optimizer, stack: int = STACK
         local, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P(), P()),
+        axis_names={axis},  # other mesh axes (e.g. "fsdp") stay auto/SPMD
         check_vma=False,
     )
 

@@ -496,3 +496,69 @@ class TestStackedDP:
         assert float(loss_dp) == pytest.approx(lsum / 2.0, rel=2e-4)
         for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-4)
+
+
+class TestStackedDPxFSDP:
+    """2D composition: windows manual over 'data', parameters auto-sharded
+    over 'fsdp' inside the shard_map region. Must match the unsharded
+    mean-of-window-gradients step."""
+
+    def test_2d_mesh_matches_unsharded(self):
+        import optax
+        from jax.sharding import Mesh
+
+        from gaussian_transformer_tpu.models.transformer import init_model
+        from gaussian_transformer_tpu.parallel.fsdp import fsdp_shardings
+        from gaussian_transformer_tpu.train.stacked import (
+            make_dp_train_step,
+            make_loss_fn,
+        )
+        from tests.test_stacked import STACK_S, make_tscene, small_model
+
+        devices = jax.devices()
+        if len(devices) < 4:
+            pytest.skip("needs 4 virtual devices")
+
+        ts = make_tscene(batch_size=2)
+        ts.set_epoch(1000)
+        ts.rng = np.random.RandomState(9)
+        group = ts.make_batch_group(2)
+        assert group is not None
+
+        model = small_model()
+        params0 = init_model(model, jax.random.PRNGKey(3))
+        optimizer = optax.adam(1.0, eps=1e-4)
+
+        mesh = Mesh(np.asarray(devices[:4]).reshape(2, 2), ("data", "fsdp"))
+        p_sh = jax.device_put(params0, fsdp_shardings(params0, mesh, axis="fsdp", min_size=1024))
+        o_sh = jax.device_put(
+            optimizer.init(params0),
+            fsdp_shardings(optimizer.init(params0), mesh, axis="fsdp", min_size=1024),
+        )
+        step = make_dp_train_step(model, ts.handler, ts.render_cfg, optimizer,
+                                  STACK_S, mesh=mesh, batch_size=2)
+        p_dp, _, loss_dp, _ = step(
+            p_sh, o_sh, group.src, group.trg_y, group.cameras,
+            jnp.asarray(5e-4), group.src_mask,
+        )
+
+        # Unsharded reference: mean of per-window grads, one update.
+        loss_fn = make_loss_fn(model, ts.handler, ts.render_cfg, STACK_S)
+        base_rng = jax.random.PRNGKey(0)
+        gsum, lsum = None, 0.0
+        for w in range(2):
+            cam_list = [jax.tree.map(lambda a, b=b, w=w: a[w, b], group.cameras)
+                        for b in range(2)]
+            (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params0, group.src[w:w+1], group.trg_y[w:w+1], cam_list,
+                group.src_mask[w:w+1], jax.random.fold_in(base_rng, w),
+            )
+            lsum += float(l)
+            gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+        gmean = jax.tree.map(lambda x: x / 2.0, gsum)
+        updates, _ = optimizer.update(gmean, optimizer.init(params0), params0)
+        p_ref = optax.apply_updates(params0, jax.tree.map(lambda u: u * 5e-4, updates))
+
+        assert float(loss_dp) == pytest.approx(lsum / 2.0, rel=3e-4)
+        for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4)

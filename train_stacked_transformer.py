@@ -137,7 +137,7 @@ def main():
     except Exception:
         pass
 
-    if args.fsdp:
+    if args.fsdp and not args.dp:
         from gaussian_transformer_tpu.parallel.fsdp import (
             fsdp_shardings,
             make_fsdp_mesh,
@@ -151,17 +151,32 @@ def main():
 
     dp_mesh = None
     if args.dp:
-        assert not args.fsdp, "--dp and --fsdp compose via a 2D mesh (future); pick one"
         from jax.sharding import Mesh
 
         from gaussian_transformer_tpu.train.stacked import make_dp_train_step
 
-        dp_mesh = Mesh(np.asarray(jax.devices()[: args.dp]), ("data",))
+        if args.fsdp:
+            # 2D composition: windows manual over "data", params auto-sharded
+            # over "fsdp" inside the region (make_dp_train_step docstring).
+            from gaussian_transformer_tpu.parallel.fsdp import fsdp_shardings
+
+            n = args.dp * args.fsdp
+            dp_mesh = Mesh(
+                np.asarray(jax.devices()[:n]).reshape(args.dp, args.fsdp),
+                ("data", "fsdp"),
+            )
+            params = jax.device_put(params, fsdp_shardings(params, dp_mesh, axis="fsdp"))
+            opt_state = jax.device_put(
+                opt_state, fsdp_shardings(opt_state, dp_mesh, axis="fsdp")
+            )
+            print(f"DPxFSDP: {args.dp} windows x {args.fsdp}-way param shards")
+        else:
+            dp_mesh = Mesh(np.asarray(jax.devices()[: args.dp]), ("data",))
+            print(f"DP: one window per device over {args.dp} devices")
         step_fn = make_dp_train_step(
             model, tscene.handler, render_cfg, optimizer, args.stack,
             mesh=dp_mesh, batch_size=args.batch_size,
         )
-        print(f"DP: one window per device over {args.dp} devices")
     else:
         step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, args.stack)
     drop_base = jax.random.PRNGKey(42)  # model.train(): dropout active per step
