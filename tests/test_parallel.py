@@ -562,3 +562,18 @@ class TestStackedDPxFSDP:
         assert float(loss_dp) == pytest.approx(lsum / 2.0, rel=3e-4)
         for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4)
+
+
+class TestFSDPLeafSpec:
+    def test_shards_largest_divisible_dim_and_replicates_small(self):
+        from gaussian_transformer_tpu.parallel.fsdp import leaf_spec
+        from jax.sharding import PartitionSpec as P
+
+        big = np.zeros((128, 512))     # largest dim 512 divisible by 8
+        assert leaf_spec(big, 8, "fsdp", min_size=1024) == P(None, "fsdp")
+        tall = np.zeros((1024, 100))   # 100 not divisible; 1024 is
+        assert leaf_spec(tall, 8, "fsdp", min_size=1024) == P("fsdp", None)
+        small = np.zeros((4, 4))       # below min_size -> replicated
+        assert leaf_spec(small, 8, "fsdp", min_size=1024) == P()
+        odd = np.zeros((999, 1001))    # nothing divisible -> replicated
+        assert leaf_spec(odd, 8, "fsdp", min_size=1024) == P()
