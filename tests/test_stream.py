@@ -328,3 +328,53 @@ class TestSuperchunkBoundaries:
             np.asarray(color)[covered], ref_c[covered], atol=2e-4
         )
         np.testing.assert_allclose(np.asarray(tmap)[covered], ref_t[covered], atol=2e-4)
+
+
+class TestPullbackLayout:
+    """Direct invariants of the gradient-pullback fields bin_stream emits
+    (pos_unsorted / gauss_offsets / gauss_cov) — the end-to-end check is the
+    grads-vs-XLA-AD suite; this pins the layout itself."""
+
+    def test_pos_unsorted_roundtrip_and_segments(self):
+        from tests.test_render import make_camera, make_scene
+        from gaussian_transformer_tpu.render.project import project_gaussians
+        import math
+
+        scene = make_scene(300, seed=4, spread=1.2)
+        cam = make_camera(width=96, height=64)
+        proj = project_gaussians(
+            scene.get_xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity[:, 0], scene.get_features, None,
+            world_view_transform=cam.world_view_transform,
+            full_proj_transform=cam.full_proj_transform,
+            camera_center=cam.camera_center,
+            image_width=96, image_height=64,
+            tan_fovx=math.tan(cam.fovx / 2), tan_fovy=math.tan(cam.fovy / 2),
+            active_sh_degree=scene.active_sh_degree,
+        )
+        include = (proj.radii > 0) & (proj.opacities >= 1.0 / 255.0)
+        gw, gh = num_tiles(96), num_tiles(64)
+        b = bin_stream(proj.means2d, proj.depths, proj.radii_bin, include,
+                       grid_w=gw, grid_h=gh)
+
+        pos = np.asarray(b.pos_unsorted)
+        sg = np.asarray(b.stream_gauss)
+        off = np.asarray(b.gauss_offsets)
+        cov = np.asarray(b.gauss_cov)
+        C = scene.capacity
+        I_pad = sg.shape[0]
+        I = pos.shape[0]
+
+        # Each depth-sorted gaussian g owns unsorted range [off[g], off[g]+cov[g]);
+        # every in-stream instance of that range must land on a slot whose
+        # stream_gauss IS g.
+        gauss_of_unsorted = np.full(I, C, np.int32)
+        for g in range(C):
+            gauss_of_unsorted[off[g]:off[g] + cov[g]] = g
+        in_stream = pos < I_pad
+        assert in_stream.any()
+        assert (sg[pos[in_stream]] == gauss_of_unsorted[in_stream]).all()
+        # In-stream positions are unique (permutation into the padded stream).
+        assert len(np.unique(pos[in_stream])) == in_stream.sum()
+        # Total in-stream instances match the real (non-pad) stream rows.
+        assert in_stream.sum() == (sg < C).sum()
