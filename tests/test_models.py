@@ -59,11 +59,13 @@ class TestTorchParity:
         b1 = np.asarray(params["params"]["w_1"]["bias"])
         w2 = np.asarray(params["params"]["w_2"]["kernel"])  # [d, d]
         b2 = np.asarray(params["params"]["w_2"]["bias"])
-        xt = torch.from_numpy(x)
-        h = xt @ torch.from_numpy(w1) + torch.from_numpy(b1)
+        # .copy(): jax arrays surface as non-writable numpy views, which
+        # torch.from_numpy warns about.
+        xt = torch.from_numpy(x.copy())
+        h = xt @ torch.from_numpy(w1.copy()) + torch.from_numpy(b1.copy())
         a, b = h.chunk(2, -1)
         h = torch.nn.functional.silu(a) * b  # SwiGLU
-        ref = (h @ torch.from_numpy(w2) + torch.from_numpy(b2)).numpy()
+        ref = (h @ torch.from_numpy(w2.copy()) + torch.from_numpy(b2.copy())).numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
     def test_attention_matches_torch(self):
