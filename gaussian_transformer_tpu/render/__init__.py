@@ -91,6 +91,10 @@ class RenderConfig:
     # accumulation) — halves the compositor's dominant HBM read at a
     # documented O(1e-2) alpha quantization delta (stream.py).
     precision: str = struct.field(pytree_node=False, default="fp32")
+    # Property-block rows per stream-kernel program (amortizes grid
+    # scheduling; 2*block_rows*16*4 B of VMEM per pipeline buffer). Tunable
+    # for on-chip sweeps (tools/ab_bench.py).
+    block_rows: int = struct.field(pytree_node=False, default=2048)
 
 
 _MAX_CHUNKS = 65536  # chunk->tile map is scalar-prefetched: [G] int32 in SMEM
@@ -192,6 +196,7 @@ def render(
             grid_w=grid_w,
             grid_h=grid_h,
             precision=cfg.precision,
+            block_rows=cfg.block_rows,
         )
         image = img_pad[:, :H, :W]
         return {

@@ -389,6 +389,7 @@ def stream_image(
     grid_w: int,
     grid_h: int,
     precision: str = "fp32",
+    block_rows: int = BLOCK_ROWS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render the padded image [3, H_pad, W_pad] + transmittance map from the
     instance stream (drop-in for pallas_composite.composite_image_pallas)."""
@@ -398,7 +399,7 @@ def stream_image(
         binned.gauss_offsets, binned.gauss_cov,
     )  # [I_pad, 16]
     color, final_t = _composite_stream_tiles(
-        props, binned.chunk_tile, grid_w, grid_h, precision
+        props, binned.chunk_tile, grid_w, grid_h, precision, block_rows
     )
     # Tiles no chunk ever wrote (empty, or fully beyond the instance budget)
     # hold garbage: background them.
@@ -414,8 +415,9 @@ def stream_image(
     return img, t_map
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _composite_stream_tiles(props, chunk_tile, grid_w, grid_h, precision="fp32"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _composite_stream_tiles(props, chunk_tile, grid_w, grid_h, precision="fp32",
+                            block_rows=BLOCK_ROWS):
     """(color [T, 3, P], final_T [T, 1, P]) pre-background.
 
     ``precision="bf16"`` streams the property rows as bf16 (half the DMA
@@ -423,7 +425,7 @@ def _composite_stream_tiles(props, chunk_tile, grid_w, grid_h, precision="fp32")
     mantissa covers the coordinate range; all in-kernel math and the
     color/transmittance accumulators stay fp32. Documented numerics delta:
     property quantization perturbs alpha by O(1e-2) relative."""
-    out = _run_fwd(props, chunk_tile, grid_w, grid_h, precision)
+    out = _run_fwd(props, chunk_tile, grid_w, grid_h, precision, block_rows)
     return out[0], out[1]
 
 
@@ -433,11 +435,11 @@ def _kernel_props(props, chunk_tile, grid_w, chunk, precision):
     return props
 
 
-def _super_pad(props, chunk_tile, chunk, n_tiles):
+def _super_pad(props, chunk_tile, chunk, n_tiles, block_rows=BLOCK_ROWS):
     """Pad the stream to a whole number of SUPER-chunk programs (trash-tile
     chunks of sentinel rows). Returns (props, chunk_tile, super_)."""
     G = chunk_tile.shape[0]
-    super_ = max(1, BLOCK_ROWS // chunk)
+    super_ = max(1, block_rows // chunk)
     g_pad = (-G) % super_
     if g_pad:
         chunk_tile = jnp.concatenate(
@@ -449,14 +451,14 @@ def _super_pad(props, chunk_tile, chunk, n_tiles):
     return props, chunk_tile, super_
 
 
-def _run_fwd(props, chunk_tile, grid_w, grid_h, precision="fp32"):
+def _run_fwd(props, chunk_tile, grid_w, grid_h, precision="fp32", block_rows=BLOCK_ROWS):
     I_pad, F = props.shape
     G = chunk_tile.shape[0]
     chunk = I_pad // G
     T = grid_w * grid_h
     assert F == PROPS_F and I_pad == G * chunk and chunk % CH == 0
     props = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
-    props, chunk_tile, super_ = _super_pad(props, chunk_tile, chunk, T)
+    props, chunk_tile, super_ = _super_pad(props, chunk_tile, chunk, T, block_rows)
     kernel = functools.partial(
         _fwd_kernel, grid_w=grid_w, n_tiles=T, super_=super_, chunk=chunk,
         local_coords=precision == "bf16",
@@ -487,12 +489,15 @@ def _run_fwd(props, chunk_tile, grid_w, grid_h, precision="fp32"):
     return buf[:T, 0:3, :], buf[:T, 3:4, :]
 
 
-def _stream_fwd_rule(props, chunk_tile, grid_w, grid_h, precision="fp32"):
-    color, final_t = _composite_stream_tiles(props, chunk_tile, grid_w, grid_h, precision)
+def _stream_fwd_rule(props, chunk_tile, grid_w, grid_h, precision="fp32",
+                     block_rows=BLOCK_ROWS):
+    color, final_t = _composite_stream_tiles(
+        props, chunk_tile, grid_w, grid_h, precision, block_rows
+    )
     return (color, final_t), (props, chunk_tile, color, final_t)
 
 
-def _stream_bwd_rule(grid_w, grid_h, precision, residuals, cotangents):
+def _stream_bwd_rule(grid_w, grid_h, precision, block_rows, residuals, cotangents):
     props, chunk_tile, color, final_t = residuals
     g_color, g_t = cotangents
     I_pad, F = props.shape
@@ -500,7 +505,7 @@ def _stream_bwd_rule(grid_w, grid_h, precision, residuals, cotangents):
     chunk = I_pad // G
     T = grid_w * grid_h
     props = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
-    props_p, chunk_tile_p, super_ = _super_pad(props, chunk_tile, chunk, T)
+    props_p, chunk_tile_p, super_ = _super_pad(props, chunk_tile, chunk, T, block_rows)
     # Per-tile residual/cotangent table [T+1, 8, P] (trash row for tile id T):
     # C_total 0:3, T_final 3:4, g_color 4:7, g_t 7:8.
     pad1 = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
