@@ -52,6 +52,12 @@ def main():
         "stream": RenderConfig(use_pallas=True, use_stream=True),
         "table": RenderConfig(use_pallas=True, use_stream=False, max_per_tile=256),
         "xla": RenderConfig(use_pallas=False, max_per_tile=256),
+        # v3 tuning axes (run on-chip to pick block_rows/chunk/precision):
+        "stream_br1024": RenderConfig(block_rows=1024),
+        "stream_br4096": RenderConfig(block_rows=4096),
+        "stream_ch64": RenderConfig(chunk=64),
+        "stream_ch64_br4096": RenderConfig(chunk=64, block_rows=4096),
+        "stream_bf16": RenderConfig(precision="bf16"),
     }
 
     for name in variants:
