@@ -48,18 +48,116 @@ def stack_cameras(cams):
     return c0.replace(**batched).anonymize()
 
 
+def _make_manual_loss(scene, cams, opt, render_cfg, mesh, data_axis="data", gauss_axis="gauss"):
+    """The MANUAL multi-chip camera loss: a shard_map over the full mesh where
+    each device projects its LOCAL Gaussian shard per local camera,
+    all-gathers only the projected splat representation (the small [C, ~12]
+    screen-space arrays, never raw parameters), and composites with the
+    unmodified single-device Pallas kernel.
+
+    This exists because XLA cannot auto-partition Mosaic custom calls: the
+    jit-SPMD path compiles on the virtual CPU mesh (kernels interpret there)
+    but is REJECTED by the real TPU compiler ("Mosaic kernels cannot be
+    automatically partitioned") — caught by the deviceless AOT gate
+    (tools/aot_check.py). The gather's AD transpose is the per-Gaussian grad
+    reduce-scatter, exactly the BASELINE.md collective design."""
+    import math
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from gaussian_transformer_tpu.render import _auto_chunk
+    from gaussian_transformer_tpu.render.project import project_gaussians
+    from gaussian_transformer_tpu.render.stream import stream_image
+    from gaussian_transformer_tpu.render.tiles import bin_stream, num_tiles
+
+    H, W = cams.image_height, cams.image_width
+    tan_fovx = math.tan(cams.fovx * 0.5)
+    tan_fovy = math.tan(cams.fovy * 0.5)
+    gw, gh = num_tiles(W), num_tiles(H)
+    C_total = scene.capacity
+    B = cams.world_view_transform.shape[0]
+    d_size = mesh.shape[data_axis]
+    assert B % d_size == 0, f"camera batch {B} not divisible by data axis {d_size}"
+    chunk = _auto_chunk(C_total, gw * gh, render_cfg)
+
+    def local(params_l, alive_l, cams_l, offs_l, bg_r):
+        s_l = scene.replace(alive=alive_l, **params_l)
+        B_loc = cams_l.world_view_transform.shape[0]
+        outs = []
+        for b in range(B_loc):
+            cam = jax.tree.map(lambda a, b=b: a[b], cams_l)
+            proj = project_gaussians(
+                s_l.get_xyz, s_l.get_scaling, s_l.get_rotation,
+                s_l.get_opacity[:, 0], s_l.get_features, None,
+                world_view_transform=cam.world_view_transform,
+                full_proj_transform=cam.full_proj_transform,
+                camera_center=cam.camera_center,
+                image_width=W, image_height=H,
+                tan_fovx=tan_fovx, tan_fovy=tan_fovy,
+                active_sh_degree=scene.active_sh_degree,
+            )
+            means2d_l = proj.means2d + offs_l[b]
+            gat = lambda x: jax.lax.all_gather(x, gauss_axis, axis=0, tiled=True)
+            m2, dep, rad, radb, con, rgb, opa = (
+                gat(means2d_l), gat(proj.depths), gat(proj.radii),
+                gat(proj.radii_bin), gat(proj.conics), gat(proj.rgbs),
+                gat(proj.opacities),
+            )
+            include = (rad > 0) & (opa >= 1.0 / 255.0)
+            binned = bin_stream(
+                m2, dep, radb, include, grid_w=gw, grid_h=gh,
+                max_tiles_per_gaussian=render_cfg.max_tiles_per_gaussian,
+                max_instances=render_cfg.max_instances,
+                max_stream=render_cfg.max_stream, chunk=chunk,
+            )
+            order = binned.order
+            img_pad, _ = stream_image(
+                binned, m2[order], con[order], rgb[order], opa[order], bg_r,
+                grid_w=gw, grid_h=gh, precision=render_cfg.precision,
+                block_rows=render_cfg.block_rows,
+            )
+            img = img_pad[:, :H, :W]
+            gt = cam.original_image
+            l1 = l1_loss(img, gt)
+            loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim(img, gt))
+            outs.append((loss, proj.radii > 0, proj.radii, l1))
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),  # [B_loc, C_loc] local-shard vis
+            jnp.stack([o[2] for o in outs]),
+            jnp.stack([o[3] for o in outs]),
+        )
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(gauss_axis), P(gauss_axis), P(data_axis), P(data_axis, gauss_axis), P()),
+        out_specs=(
+            P(data_axis), P(data_axis, gauss_axis), P(data_axis, gauss_axis), P(data_axis),
+        ),
+        check_vma=False,
+    )
+
+
 def make_sharded_train_step(opt, render_cfg, mesh=None, tile_axis=None):
     """Build the jitted batched train step. ``opt``/``render_cfg`` are baked in
     as static; shardings follow the (committed) input shardings.
 
+    ``mesh``: when given (tile_axis=None), the camera loss runs through the
+    MANUAL shard_map path (_make_manual_loss): per-shard projection, explicit
+    all-gather of the projected splat representation, per-device Pallas
+    compositing. This is the path the REAL TPU compiler accepts — XLA cannot
+    auto-partition Mosaic custom calls, so the mesh=None jit-SPMD form only
+    works single-device (or on the interpret-mode CPU test mesh).
+
     ``tile_axis``: when set (with ``mesh``), compositing work and its backward
-    are explicitly sharded over that mesh axis via shard_map
-    (parallel/tile_shard.py) instead of leaving the instance stream to the
-    SPMD partitioner; cameras then run in an unrolled Python loop because
-    shard_map does not vmap."""
+    are additionally sharded over that mesh axis via shard_map
+    (parallel/tile_shard.py); cameras then run in an unrolled Python loop."""
     if tile_axis is not None:
         assert mesh is not None, "tile_axis requires a mesh"
         from gaussian_transformer_tpu.parallel.tile_shard import render_tile_sharded
+
+    manual = mesh is not None and tile_axis is None
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(scene, adam, stats, cams, bg, iteration, spatial_lr_scale):
@@ -67,7 +165,15 @@ def make_sharded_train_step(opt, render_cfg, mesh=None, tile_axis=None):
         B = cams.world_view_transform.shape[0]
         offsets = jnp.zeros((B, scene.capacity, 2), scene.xyz.dtype)
 
+        if manual:
+            manual_loss = _make_manual_loss(scene, cams, opt, render_cfg, mesh)
+
         def loss_fn(params, offsets):
+            if manual:
+                losses, vis, radii, l1s = manual_loss(
+                    params, scene.alive, cams, offsets, bg
+                )
+                return jnp.mean(losses), (vis, radii, jnp.mean(l1s))
             s = scene.replace(**params)
 
             def one(cam, off):

@@ -98,10 +98,84 @@ def aot_compile(step, example_args, topo):
     return dt, mem
 
 
+def aot_compile_sharded(topo):
+    """Compile the MULTI-CHIP programs for a real v5e 2x2 slice: the
+    camera-batched Gaussian-sharded train step and the tile-sharded
+    (butterfly-fold) step — validating the collectives through the real
+    ICI lowering, not just the virtual CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _tiny_scene_and_camera
+    from gaussian_transformer_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_step,
+        stack_cameras,
+    )
+    from gaussian_transformer_tpu.parallel.mesh import (
+        adam_sharding,
+        camera_batch_sharding,
+        replicated,
+        shard_scene,
+    )
+    from gaussian_transformer_tpu.render import RenderConfig
+    from gaussian_transformer_tpu.scene.densify import DensifyStats
+    from gaussian_transformer_tpu.train.optim import AdamState
+    from gaussian_transformer_tpu.train.splat import OptConfig
+
+    devices = list(topo.devices)[:4]
+    scene, cams = _tiny_scene_and_camera(n=256, capacity=512, width=128, height=96)
+    batch = stack_cameras(cams[:4])
+
+    from gaussian_transformer_tpu.parallel.mesh import scene_sharding
+
+    results = []
+    for tile_axis, label in ((None, "gauss-sharded"), ("gauss", "tile-sharded butterfly")):
+        mesh = make_mesh(devices, data=2 if tile_axis is None else 1)
+        # Build shaped args structurally (no data movement — compile only).
+        sh = scene_sharding(mesh)
+        scene_shaped = scene.replace(**{
+            k: jax.ShapeDtypeStruct(getattr(scene, k).shape, getattr(scene, k).dtype,
+                                    sharding=s)
+            for k, s in sh.items()
+        })
+        adam0 = AdamState.init(scene)
+        adam_shaped = jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+            adam0, adam_sharding(mesh, adam0),
+        )
+        stats0 = DensifyStats.init(scene.capacity)
+        stats_shaped = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=replicated(mesh)),
+            stats0,
+        )
+        batch_shaped = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                           sharding=camera_batch_sharding(mesh)),
+            batch,
+        )
+        step = make_sharded_train_step(
+            OptConfig(), RenderConfig(max_per_tile=64), mesh=mesh, tile_axis=tile_axis,
+        )
+        shaped = (
+            scene_shaped, adam_shaped, stats_shaped, batch_shaped,
+            jax.ShapeDtypeStruct((3,), np.float32, sharding=replicated(mesh)),
+            jax.ShapeDtypeStruct((), np.float32, sharding=replicated(mesh)),
+            jax.ShapeDtypeStruct((), np.float32, sharding=replicated(mesh)),
+        )
+        t0 = time.time()
+        compiled = step.lower(*shaped).compile()
+        results.append((label, time.time() - t0, compiled.memory_analysis()))
+    return results
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scale", default="17k", choices=["17k", "200k", "1m", "all"])
     parser.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
+    parser.add_argument("--sharded", action="store_true",
+                        help="also compile the multi-chip programs for v5e 2x2")
     args = parser.parse_args()
 
     import jax
@@ -143,6 +217,12 @@ def main():
             flush=True,
         )
         assert tb + ab < 15e9, f"{name}: memory analysis exceeds one v5e chip"
+
+    if args.sharded:
+        for label, dt, mem in aot_compile_sharded(topo):
+            tb = getattr(mem, "temp_size_in_bytes", 0)
+            print(f"AOT OK [multi-chip v5e 2x2: {label}] compile {dt:.0f}s; "
+                  f"temp {tb/1e9:.2f} GB/device", flush=True)
 
 
 if __name__ == "__main__":

@@ -92,7 +92,12 @@ def run_config(scene, batch, data, gauss):
     bg = jax.device_put(jnp.zeros(3, jnp.float32), replicated(mesh))
     slrs = jnp.asarray(1.0, jnp.float32)
 
-    step = make_sharded_train_step(OptConfig(), RenderConfig(max_per_tile=128, tile_block=32))
+    # mesh= -> manual shard_map path (the real-TPU-compilable form) on
+    # multi-device configs; single-device keeps the plain jit step.
+    step = make_sharded_train_step(
+        OptConfig(), RenderConfig(max_per_tile=128, tile_block=32),
+        mesh=mesh if n > 1 else None,
+    )
     lowered = step.lower(scene_s, adam, stats, batch_s, bg, jnp.asarray(1.0), slrs)
     compiled = lowered.compile()
     try:
