@@ -291,10 +291,21 @@ def greedy_decode(model: EncoderDecoder, variables, src, src_mask, max_len: int,
     return ys
 
 
-def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: RenderConfig, stack: int = STACK):
+def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: RenderConfig,
+                 stack: int = STACK, mesh=None, manual_axes=None):
     """Build the jitted ImageLossCompute analog
     (train_stacked_transformer.py:178-251). Returns fn(variables, src, trg_y,
-    cams_stacked, n_cams) -> (loss, metrics)."""
+    cams_stacked, n_cams) -> (loss, metrics).
+
+    ``mesh``: when the step runs under a device mesh (FSDP/DP), the
+    image-loss render block must be wrapped in a fully-manual shard_map —
+    XLA cannot auto-partition Mosaic kernels, so the real TPU compiler
+    rejects the bare form (deviceless AOT gate finding). The wrapper is
+    replicated (every device renders identically — the same thing the
+    partitioner would have scheduled for replicated inputs).
+    ``manual_axes``: axes the wrapper must make manual; None = all mesh axes
+    (pass the REMAINING axes when the caller already sits inside a partial
+    shard_map, e.g. make_dp_train_step's data axis)."""
 
     def loss_fn(variables, src, trg_y, cams, src_mask=None, dropout_rng=None):
         pred = greedy_decode(model, variables, src, src_mask, trg_y.shape[1] + 1, stack,
@@ -319,6 +330,15 @@ def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: Re
 
         n_cams = len(cams) if isinstance(cams, (list, tuple)) else cams.world_view_transform.shape[0]
 
+        def _render_pair(g_pred, g_tgt, cam_list):
+            imgs, tgt_imgs = [], []
+            for cam in cam_list:
+                a = render(cam, g_pred, render_cfg)["render"]
+                b = render(cam, g_tgt, render_cfg)["render"]
+                imgs.append(jnp.clip(jnp.nan_to_num(a), 0.0, 1.0))
+                tgt_imgs.append(jnp.clip(jnp.nan_to_num(b), 0.0, 1.0))
+            return jnp.stack(imgs), jnp.stack(tgt_imgs)
+
         def with_images(_):
             # Tokens are normalized; denormalize before rendering (reference
             # renders through display()/unflatten on denormalized lists).
@@ -327,14 +347,34 @@ def make_loss_fn(model: EncoderDecoder, handler: GaussianHandler, render_cfg: Re
             g_pred = handler.denormalize(unflatten_gaussians(pred_list)).replace(alive=valid)
             g_tgt = handler.denormalize(unflatten_gaussians(tgt_list)).replace(alive=valid)
 
-            imgs, tgt_imgs = [], []
-            for cam in cams:
-                a = render(cam, g_pred, render_cfg)["render"]
-                b = render(cam, g_tgt, render_cfg)["render"]
-                imgs.append(jnp.clip(jnp.nan_to_num(a), 0.0, 1.0))
-                tgt_imgs.append(jnp.clip(jnp.nan_to_num(b), 0.0, 1.0))
-            images = jnp.stack(imgs)
-            tgt_images = jnp.stack(tgt_imgs)
+            if mesh is None:
+                images, tgt_images = _render_pair(g_pred, g_tgt, cams)
+            else:
+                # Fully-manual replicated region around the Mosaic kernels
+                # (see the factory docstring).
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as SMP
+
+                cam_tree = cams if not isinstance(cams, (list, tuple)) else tuple(cams)
+
+                def _manual(gp, gt_, cam_tree):
+                    cam_list = (
+                        list(cam_tree) if isinstance(cam_tree, tuple) else cam_tree
+                    )
+                    return _render_pair(gp, gt_, cam_list)
+
+                # Under an outer shard_map (DPxFSDP) the inner wrapper must be
+                # built on the CONTEXT AbstractMesh, whose already-manual axes
+                # are typed Manual; outside one, the concrete mesh is correct.
+                ctx_mesh = jax.sharding.get_abstract_mesh()
+                use_mesh = mesh if getattr(ctx_mesh, "empty", True) else ctx_mesh
+                kwargs = {} if manual_axes is None else {"axis_names": set(manual_axes)}
+                images, tgt_images = shard_map(
+                    _manual, mesh=use_mesh,
+                    in_specs=(SMP(), SMP(), SMP()),
+                    out_specs=(SMP(), SMP()),
+                    check_vma=False, **kwargs,
+                )(g_pred, g_tgt, cam_tree)
             gen = l1_loss(images, tgt_images) * (5.0 / n_cams)
             ssim_l = (1.0 - ssim(images, tgt_images)) * (0.2 / n_cams)
             return gen * 0.1 + ssim_l * 0.1
@@ -471,10 +511,12 @@ class ReduceLROnPlateau:
         return self.lr
 
 
-def make_train_step(model, handler, render_cfg, optimizer, stack: int = STACK):
+def make_train_step(model, handler, render_cfg, optimizer, stack: int = STACK, mesh=None):
     """(variables, opt_state, batch arrays, cams, lr) -> updated + metrics.
-    Jitted per (src_len, tgt_len) bucket shape."""
-    loss_fn = make_loss_fn(model, handler, render_cfg, stack)
+    Jitted per (src_len, tgt_len) bucket shape. Pass ``mesh`` when params are
+    sharded over it (FSDP) so the image-loss render block compiles on real
+    TPUs (see make_loss_fn)."""
+    loss_fn = make_loss_fn(model, handler, render_cfg, stack, mesh=mesh)
 
     @jax.jit
     def step(params, opt_state, src, trg_y, cams, lr, src_mask=None, dropout_rng=None):
@@ -506,7 +548,14 @@ def make_dp_train_step(model, handler, render_cfg, optimizer, stack: int = STACK
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    loss_fn = make_loss_fn(model, handler, render_cfg, stack)
+    # Inside the manual-`axis` region any REMAINING mesh axes (e.g. "fsdp")
+    # are still auto — the render block needs an inner manual wrapper over
+    # them so the Mosaic kernels never sit under auto partitioning.
+    rest = set(mesh.axis_names) - {axis} if mesh is not None else set()
+    loss_fn = make_loss_fn(
+        model, handler, render_cfg, stack,
+        mesh=mesh if rest else None, manual_axes=rest or None,
+    )
 
     def local(params, src, trg_y, cams, src_mask, rng):
         # Local shard: src/trg_y [1, L, D]; camera leaves [1, B, ...].

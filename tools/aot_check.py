@@ -170,12 +170,133 @@ def aot_compile_sharded(topo):
     return results
 
 
+def aot_compile_stacked(topo):
+    """Compile the stacked-transformer training steps for v5e: single-chip,
+    FSDP-sharded (4-way), and DPxFSDP (2x2) — the render-in-the-loss means
+    Mosaic kernels sit under these shardings too."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _tiny_scene_and_camera
+    from gaussian_transformer_tpu.models.transformer import init_model, make_model
+    from gaussian_transformer_tpu.parallel.fsdp import fsdp_shardings, make_fsdp_mesh
+    from gaussian_transformer_tpu.render import RenderConfig
+    from gaussian_transformer_tpu.train.stacked import (
+        TrainingScene,
+        make_dp_train_step,
+        make_train_step,
+        stacked_token_dim,
+    )
+
+    stack = 2
+    D = stacked_token_dim(stack)
+    scene, cams = _tiny_scene_and_camera(n=192, capacity=256, width=64, height=48, seed=11)
+    # TrainingScene construction EXECUTES visibility renders on the CPU host —
+    # those must run the interpret kernels; only the .lower() calls below
+    # should trace the real Mosaic kernels.
+    import gaussian_transformer_tpu.render.pallas_composite as pc
+
+    not_interp = pc._use_interpret
+    pc._use_interpret = lambda: True
+    try:
+        ts = TrainingScene(
+            types.SimpleNamespace(gaussians=scene, get_train_cameras=lambda scale=1.0: cams),
+            RenderConfig(max_per_tile=64), batch_size=2, stack=stack, bucket=4,
+        )
+        ts.set_epoch(1000)
+        batch = ts.make_batch([0, 1])
+        group = ts.make_batch_group(2)  # also executes visibility renders
+    finally:
+        pc._use_interpret = not_interp
+    model = make_model(stack, D, D, N=1, d_model=D, dropout=0.0)
+    params = init_model(model, jax.random.PRNGKey(3))
+    optimizer = optax.adam(1.0, eps=1e-4)
+    opt_state = optimizer.init(params)
+    devices = list(topo.devices)[:4]
+
+    def shaped_tree(tree, sh_tree):
+        return jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a), sharding=s),
+            tree, sh_tree,
+        )
+
+    results = []
+
+    # (a) single-chip step
+    mesh1 = Mesh(np.asarray(devices[:1]), ("x",))
+    rep1 = NamedSharding(mesh1, P())
+    step = make_train_step(model, ts.handler, ts.render_cfg, optimizer, stack)
+    shaped = (
+        shaped_tree(params, jax.tree.map(lambda _: rep1, params)),
+        shaped_tree(opt_state, jax.tree.map(lambda _: rep1, opt_state)),
+        jax.ShapeDtypeStruct(batch.src.shape, batch.src.dtype, sharding=rep1),
+        jax.ShapeDtypeStruct(batch.trg_y.shape, batch.trg_y.dtype, sharding=rep1),
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a), sharding=rep1),
+                     batch.cameras),
+        jax.ShapeDtypeStruct((), np.float32, sharding=rep1),
+        jax.ShapeDtypeStruct(batch.src_mask.shape, batch.src_mask.dtype, sharding=rep1),
+    )
+    t0 = time.time()
+    step.lower(*shaped).compile()
+    results.append(("stacked single-chip", time.time() - t0))
+
+    # (b) FSDP over 4 devices (mesh= wraps the render block in a manual
+    # region — required for the TPU compiler)
+    mesh4 = make_fsdp_mesh(devices)
+    step = make_train_step(model, ts.handler, ts.render_cfg, optimizer, stack, mesh=mesh4)
+    repl4 = NamedSharding(mesh4, P())
+    p_sh = fsdp_shardings(params, mesh4, min_size=1024)
+    o_sh = fsdp_shardings(opt_state, mesh4, min_size=1024)
+    shaped = (
+        shaped_tree(params, p_sh),
+        shaped_tree(opt_state, o_sh),
+        jax.ShapeDtypeStruct(batch.src.shape, batch.src.dtype, sharding=repl4),
+        jax.ShapeDtypeStruct(batch.trg_y.shape, batch.trg_y.dtype, sharding=repl4),
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a), sharding=repl4),
+                     batch.cameras),
+        jax.ShapeDtypeStruct((), np.float32, sharding=repl4),
+        jax.ShapeDtypeStruct(batch.src_mask.shape, batch.src_mask.dtype, sharding=repl4),
+    )
+    t0 = time.time()
+    step.lower(*shaped).compile()
+    results.append(("stacked FSDP 4-way", time.time() - t0))
+
+    # (c) DPxFSDP on a 2x2 mesh
+    mesh22 = Mesh(np.asarray(devices).reshape(2, 2), ("data", "fsdp"))
+    p22 = fsdp_shardings(params, mesh22, axis="fsdp", min_size=1024)
+    o22 = fsdp_shardings(opt_state, mesh22, axis="fsdp", min_size=1024)
+    data_sh = NamedSharding(mesh22, P("data"))
+    repl22 = NamedSharding(mesh22, P())
+    dp_step = make_dp_train_step(model, ts.handler, ts.render_cfg, optimizer,
+                                 stack, mesh=mesh22, batch_size=2)
+    shaped = (
+        shaped_tree(params, p22),
+        shaped_tree(opt_state, o22),
+        jax.ShapeDtypeStruct(group.src.shape, group.src.dtype, sharding=data_sh),
+        jax.ShapeDtypeStruct(group.trg_y.shape, group.trg_y.dtype, sharding=data_sh),
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a), sharding=data_sh),
+                     group.cameras),
+        jax.ShapeDtypeStruct((), np.float32, sharding=repl22),
+        jax.ShapeDtypeStruct(group.src_mask.shape, group.src_mask.dtype, sharding=data_sh),
+    )
+    t0 = time.time()
+    dp_step.lower(*shaped).compile()
+    results.append(("stacked DPxFSDP 2x2", time.time() - t0))
+    return results
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scale", default="17k", choices=["17k", "200k", "1m", "all"])
     parser.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     parser.add_argument("--sharded", action="store_true",
                         help="also compile the multi-chip programs for v5e 2x2")
+    parser.add_argument("--stacked", action="store_true",
+                        help="also compile the stacked transformer steps for v5e")
     args = parser.parse_args()
 
     import jax
@@ -223,6 +344,10 @@ def main():
             tb = getattr(mem, "temp_size_in_bytes", 0)
             print(f"AOT OK [multi-chip v5e 2x2: {label}] compile {dt:.0f}s; "
                   f"temp {tb/1e9:.2f} GB/device", flush=True)
+
+    if args.stacked:
+        for label, dt in aot_compile_stacked(topo):
+            print(f"AOT OK [{label}] compile {dt:.0f}s", flush=True)
 
 
 if __name__ == "__main__":

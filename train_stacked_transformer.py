@@ -137,6 +137,7 @@ def main():
     except Exception:
         pass
 
+    fsdp_mesh = None
     if args.fsdp and not args.dp:
         from gaussian_transformer_tpu.parallel.fsdp import (
             fsdp_shardings,
@@ -144,9 +145,9 @@ def main():
             shard_tree,
         )
 
-        mesh = make_fsdp_mesh(jax.devices()[: args.fsdp])
-        params = shard_tree(params, mesh)
-        opt_state = jax.device_put(opt_state, fsdp_shardings(opt_state, mesh))
+        fsdp_mesh = make_fsdp_mesh(jax.devices()[: args.fsdp])
+        params = shard_tree(params, fsdp_mesh)
+        opt_state = jax.device_put(opt_state, fsdp_shardings(opt_state, fsdp_mesh))
         print(f"FSDP: params+optimizer sharded over {args.fsdp} devices")
 
     dp_mesh = None
@@ -178,7 +179,9 @@ def main():
             mesh=dp_mesh, batch_size=args.batch_size,
         )
     else:
-        step_fn = make_train_step(model, tscene.handler, render_cfg, optimizer, args.stack)
+        step_fn = make_train_step(
+            model, tscene.handler, render_cfg, optimizer, args.stack, mesh=fsdp_mesh
+        )
     drop_base = jax.random.PRNGKey(42)  # model.train(): dropout active per step
 
     # Viewer hooks (reference handleViewer, train_stacked_transformer.py:284-320):
