@@ -196,9 +196,19 @@ class FlatTrainingScene:
 
 def make_flat_loss(model: EmbeddedEncoderDecoder, render_cfg: RenderConfig, use_lpips: Optional[bool] = None):
     """ImageLossCompute analog (train_transformer.py:171-221): render prompt +
-    teacher-forced prediction, relative-L1-improvement + token L2 (+ LPIPS)."""
+    teacher-forced prediction, relative-L1-improvement + token L2 (+ LPIPS).
+
+    When the model carries a ring mesh (``--seq_shard``), the two renders run
+    inside a fully-manual replicated shard_map: XLA cannot auto-partition
+    Mosaic kernels, so the bare form is rejected by the real TPU compiler
+    (deviceless AOT gate finding — same class as the stacked trainer's fix)."""
     if use_lpips is None:
         use_lpips = lpips_mod.available("alex")
+
+    def _render_two(g_combined, g_base, cam, bg):
+        image = render(cam, g_combined, render_cfg, bg_color=bg)["render"]
+        y_img = render(cam, g_base, render_cfg, bg_color=bg)["render"]
+        return image, y_img
 
     def loss_fn(params, batch_src, batch_trg, batch_trg_y, src_mask, trg_mask, cam,
                 dropout_rng=None):
@@ -214,12 +224,25 @@ def make_flat_loss(model: EmbeddedEncoderDecoder, render_cfg: RenderConfig, use_
         prompt = batch_src[0]
         g_combined = unflatten_gaussians(jnp.concatenate([prompt, x], axis=0))
         bg = jnp.zeros(3)
-        image = render(cam, g_combined, render_cfg, bg_color=bg)["render"]
-        original = cam.original_image
-
         # Baseline: rendering ALL tokens (prompt + true targets).
         g_base = unflatten_gaussians(jnp.concatenate([prompt, batch_trg_y[0]], axis=0))
-        y_img = render(cam, g_base, render_cfg, bg_color=bg)["render"]
+
+        mesh = getattr(model, "mesh", None)
+        if mesh is None:
+            image, y_img = _render_two(g_combined, g_base, cam, bg)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as SMP
+
+            ctx = jax.sharding.get_abstract_mesh()
+            use_mesh = mesh if getattr(ctx, "empty", True) else ctx
+            image, y_img = shard_map(
+                _render_two, mesh=use_mesh,
+                in_specs=(SMP(), SMP(), SMP(), SMP()),
+                out_specs=(SMP(), SMP()),
+                check_vma=False,
+            )(g_combined, g_base, cam, bg)
+        original = cam.original_image
 
         base = l1_loss(y_img, original)
         gen = l1_loss(image, original)

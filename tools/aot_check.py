@@ -21,6 +21,9 @@ import sys
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -289,6 +292,83 @@ def aot_compile_stacked(topo):
     return results
 
 
+def aot_compile_flat_ring(topo):
+    """Compile the flat trainer's sequence-parallel step (ring attention over
+    2 devices + render-in-the-loss) for v5e."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _tiny_scene_and_camera
+    from gaussian_transformer_tpu.parallel.mesh import make_mesh
+    from gaussian_transformer_tpu.render import RenderConfig
+    from gaussian_transformer_tpu.train.flat import (
+        EmbeddedEncoderDecoder,
+        FlatTrainingScene,
+        init_flat_model,
+        make_flat_loss,
+        make_noam_adamax,
+    )
+
+    import gaussian_transformer_tpu.render.pallas_composite as pc
+
+    scene, cams = _tiny_scene_and_camera(n=192, capacity=256, width=64, height=48, seed=11)
+    cfg = RenderConfig(max_per_tile=64)
+    not_interp = pc._use_interpret
+    pc._use_interpret = lambda: True  # FlatTrainingScene executes renders
+    try:
+        ts = FlatTrainingScene(
+            types.SimpleNamespace(gaussians=scene, get_train_cameras=lambda scale=1.0: cams),
+            cfg, max_len=10_000, min_len=1, bucket=8,
+        )
+        batch = ts.make_batch(0)
+    finally:
+        pc._use_interpret = not_interp
+
+    # init EXECUTES (ring shard_map included) — run it on a 2-device CPU
+    # mesh; the step then lowers against the topology mesh (params are
+    # mesh-independent pytrees).
+    cpu_devs = jax.devices("cpu")
+    assert len(cpu_devs) >= 2, (
+        "aot_check --flat needs XLA_FLAGS=--xla_force_host_platform_device_count>=2"
+    )
+    cpu_mesh = make_mesh(cpu_devs[:2], data=1)
+    model_cpu = EmbeddedEncoderDecoder(N=1, d_model=64, ring_axis="gauss", mesh=cpu_mesh)
+    params = init_flat_model(model_cpu, jax.random.PRNGKey(0))
+
+    devices = list(topo.devices)[:2]
+    mesh = make_mesh(devices, data=1)  # ("data", "gauss"): ring over "gauss"
+    model = EmbeddedEncoderDecoder(N=1, d_model=64, ring_axis="gauss", mesh=mesh)
+    optimizer = make_noam_adamax(64)
+    opt_state = optimizer.init(params)
+    loss_fn = make_flat_loss(model, cfg)
+
+    @jax.jit
+    def step(params, opt_state, src, trg, trg_y, src_mask, trg_mask, cam, key):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, src, trg, trg_y, src_mask, trg_mask, cam, key
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    rep = NamedSharding(mesh, P())
+    sh = lambda a: jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x), sharding=rep), a
+    )
+    t0 = time.time()
+    step.lower(
+        sh(params), sh(opt_state), sh(batch["src"]), sh(batch["trg"]),
+        sh(batch["trg_y"]), sh(batch["src_mask"]), sh(batch["trg_mask"]),
+        sh(batch["cam"]),
+        jax.ShapeDtypeStruct((2,), np.uint32, sharding=rep),
+    ).compile()
+    return [("flat ring seq-parallel (2-dev)", time.time() - t0)]
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scale", default="17k", choices=["17k", "200k", "1m", "all"])
@@ -297,6 +377,8 @@ def main():
                         help="also compile the multi-chip programs for v5e 2x2")
     parser.add_argument("--stacked", action="store_true",
                         help="also compile the stacked transformer steps for v5e")
+    parser.add_argument("--flat", action="store_true",
+                        help="also compile the flat ring-attention step for v5e")
     args = parser.parse_args()
 
     import jax
@@ -347,6 +429,10 @@ def main():
 
     if args.stacked:
         for label, dt in aot_compile_stacked(topo):
+            print(f"AOT OK [{label}] compile {dt:.0f}s", flush=True)
+
+    if args.flat:
+        for label, dt in aot_compile_flat_ring(topo):
             print(f"AOT OK [{label}] compile {dt:.0f}s", flush=True)
 
 
