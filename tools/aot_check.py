@@ -371,7 +371,8 @@ def aot_compile_flat_ring(topo):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--scale", default="17k", choices=["17k", "200k", "1m", "all"])
+    parser.add_argument("--scale", default="17k",
+                        choices=["none", "test", "17k", "200k", "1m", "all"])
     parser.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     parser.add_argument("--sharded", action="store_true",
                         help="also compile the multi-chip programs for v5e 2x2")
@@ -396,16 +397,28 @@ def main():
     from bench import WIDTH, HEIGHT, _base_cloud, _camera, _densified_scene, _table_scene
 
     topo = topologies.get_topology_desc("v5e:2x2", platform="tpu")
-    rng = np.random.RandomState(0)
-    pcd, center, extent = _base_cloud()
-    cam = _camera(center, extent, rng)
+    if args.scale == "test":
+        # tiny quick-compile config for CI (subprocess-isolated gate test)
+        from __graft_entry__ import _tiny_scene_and_camera
 
-    scales = {
-        "17k": lambda: _table_scene(pcd),
-        "200k": lambda: _densified_scene(pcd, 200_000),
-        "1m": lambda: _densified_scene(pcd, 1_000_000),
-    }
-    todo = list(scales) if args.scale == "all" else [args.scale]
+        t_scene, t_cams = _tiny_scene_and_camera(n=128, capacity=256, width=128, height=96)
+        cam = t_cams[0]
+        extent = 2.0
+        scales = {"test": lambda: t_scene}
+        todo = ["test"]
+    elif args.scale == "none":
+        scales, todo = {}, []
+        cam = extent = None
+    else:
+        rng = np.random.RandomState(0)
+        pcd, center, extent = _base_cloud()
+        cam = _camera(center, extent, rng)
+        scales = {
+            "17k": lambda: _table_scene(pcd),
+            "200k": lambda: _densified_scene(pcd, 200_000),
+            "1m": lambda: _densified_scene(pcd, 1_000_000),
+        }
+        todo = list(scales) if args.scale == "all" else [args.scale]
     for name in todo:
         scene = scales[name]()
         step, ex, counts = build_step(scene, cam, extent, args.precision)
