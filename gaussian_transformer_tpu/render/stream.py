@@ -425,7 +425,9 @@ def _composite_stream_tiles(props, chunk_tile, grid_w, grid_h, precision="fp32",
     mantissa covers the coordinate range; all in-kernel math and the
     color/transmittance accumulators stay fp32. Documented numerics delta:
     property quantization perturbs alpha by O(1e-2) relative."""
-    out = _run_fwd(props, chunk_tile, grid_w, grid_h, precision, block_rows)
+    chunk = props.shape[0] // chunk_tile.shape[0]
+    props_k = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
+    out = _run_fwd(props_k, chunk_tile, grid_w, grid_h, precision, block_rows)
     return out[0], out[1]
 
 
@@ -457,7 +459,7 @@ def _run_fwd(props, chunk_tile, grid_w, grid_h, precision="fp32", block_rows=BLO
     chunk = I_pad // G
     T = grid_w * grid_h
     assert F == PROPS_F and I_pad == G * chunk and chunk % CH == 0
-    props = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
+    # props arrive in KERNEL precision (the caller converts via _kernel_props)
     props, chunk_tile, super_ = _super_pad(props, chunk_tile, chunk, T, block_rows)
     kernel = functools.partial(
         _fwd_kernel, grid_w=grid_w, n_tiles=T, super_=super_, chunk=chunk,
@@ -491,10 +493,12 @@ def _run_fwd(props, chunk_tile, grid_w, grid_h, precision="fp32", block_rows=BLO
 
 def _stream_fwd_rule(props, chunk_tile, grid_w, grid_h, precision="fp32",
                      block_rows=BLOCK_ROWS):
-    color, final_t = _composite_stream_tiles(
-        props, chunk_tile, grid_w, grid_h, precision, block_rows
-    )
-    return (color, final_t), (props, chunk_tile, color, final_t)
+    chunk = props.shape[0] // chunk_tile.shape[0]
+    props_k = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
+    color, final_t = _run_fwd(props_k, chunk_tile, grid_w, grid_h, precision, block_rows)
+    # Residual = the KERNEL-precision stream: at bf16 this halves the saved
+    # bytes and the backward skips re-localizing/re-casting.
+    return (color, final_t), (props_k, chunk_tile, color, final_t)
 
 
 def _stream_bwd_rule(grid_w, grid_h, precision, block_rows, residuals, cotangents):
@@ -504,7 +508,7 @@ def _stream_bwd_rule(grid_w, grid_h, precision, block_rows, residuals, cotangent
     G = chunk_tile.shape[0]
     chunk = I_pad // G
     T = grid_w * grid_h
-    props = _kernel_props(props, chunk_tile, grid_w, chunk, precision)
+    # props residual is already in kernel precision
     props_p, chunk_tile_p, super_ = _super_pad(props, chunk_tile, chunk, T, block_rows)
     # Per-tile residual/cotangent table [T+1, 8, P] (trash row for tile id T):
     # C_total 0:3, T_final 3:4, g_color 4:7, g_t 7:8.
