@@ -372,6 +372,10 @@ class TestStackedFSDP:
         # Sharded: params + optimizer state over an 8-way fsdp mesh. A tiny
         # min_size so the test model's matrices actually shard.
         mesh = make_fsdp_mesh(devices[:8])
+        # rebuild the step WITH the mesh so the loss's manual render wrapper
+        # (the real-TPU-compilable form) is the path under test
+        step = make_train_step(model, ts.handler, ts.render_cfg, optimizer,
+                               STACK_S, mesh=mesh)
         p_sh = shard_tree(params0, mesh, min_size=1024)
         o_sh = jax.device_put(
             optimizer.init(params0), fsdp_shardings(optimizer.init(params0), mesh, min_size=1024)
