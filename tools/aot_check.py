@@ -33,7 +33,7 @@ def build_step(scene, cam, extent, precision, use_stream=True):
     import jax
     import jax.numpy as jnp
 
-    from gaussian_transformer_tpu.render import RenderConfig, render, tune_config
+    from gaussian_transformer_tpu.render import RenderConfig, tune_config
     from gaussian_transformer_tpu.scene.densify import DensifyStats
     from gaussian_transformer_tpu.train.optim import AdamState
     from gaussian_transformer_tpu.train.splat import OptConfig, train_step
