@@ -8,7 +8,8 @@ class of on-chip compile failure (unsupported Pallas constructs, Mosaic
 layout/lowering errors, VMEM overflows, HBM blowups) even when the tunnel
 relay is down, and reports the compiler's memory analysis per config.
 
-Usage: python tools/aot_check.py [--scale {17k,200k,1m,all}] [--precision fp32|bf16]
+Usage: python tools/aot_check.py [--scale {none,test,17k,200k,1m,all}]
+       [--precision fp32|bf16] [--sharded] [--stacked] [--flat]
 
 Compiles the full train_step (render fwd + L1/SSIM loss + backward + Adam)
 at the bench configuration. Exit 0 = everything compiled.
