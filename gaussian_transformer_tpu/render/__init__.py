@@ -95,6 +95,11 @@ class RenderConfig:
     # scheduling; 2*block_rows*16*4 B of VMEM per pipeline buffer). Tunable
     # for on-chip sweeps (tools/ab_bench.py).
     block_rows: int = struct.field(pytree_node=False, default=2048)
+    # Stream-kernel memory layout: "rows" ([I_pad, 16], current default) or
+    # "transposed" ([16, I_pad] — lane-native, avoids the 8x HBM staging copy
+    # measured by tools/layout_probe.py; pending on-chip timing before it
+    # becomes the default). fp32 only.
+    layout: str = struct.field(pytree_node=False, default="rows")
 
 
 _MAX_CHUNKS = 65536  # chunk->tile map is scalar-prefetched: [G] int32 in SMEM
@@ -186,18 +191,28 @@ def render(
             chunk=_auto_chunk(means2d.shape[0], grid_w * grid_h, cfg),
         )
         order = binned.order
-        img_pad, t_pad = stream_image(
-            binned,
-            means2d[order],
-            proj.conics[order],
-            proj.rgbs[order],
-            proj.opacities[order],
-            bg,
-            grid_w=grid_w,
-            grid_h=grid_h,
-            precision=cfg.precision,
-            block_rows=cfg.block_rows,
-        )
+        if cfg.layout == "transposed":
+            from gaussian_transformer_tpu.render.stream_t import stream_image_t
+
+            assert cfg.precision == "fp32", "transposed layout is fp32-only"
+            img_pad, t_pad = stream_image_t(
+                binned, means2d[order], proj.conics[order], proj.rgbs[order],
+                proj.opacities[order], bg, grid_w=grid_w, grid_h=grid_h,
+                block_rows=cfg.block_rows,
+            )
+        else:
+            img_pad, t_pad = stream_image(
+                binned,
+                means2d[order],
+                proj.conics[order],
+                proj.rgbs[order],
+                proj.opacities[order],
+                bg,
+                grid_w=grid_w,
+                grid_h=grid_h,
+                precision=cfg.precision,
+                block_rows=cfg.block_rows,
+            )
         image = img_pad[:, :H, :W]
         return {
             "render": image,

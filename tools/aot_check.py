@@ -40,7 +40,8 @@ def build_step(scene, cam, extent, precision, use_stream=True):
     from gaussian_transformer_tpu.train.splat import OptConfig, train_step
 
     opt = OptConfig()
-    cfg = RenderConfig(max_per_tile=256, precision=precision, use_stream=use_stream)
+    cfg = RenderConfig(max_per_tile=256, precision=precision, use_stream=use_stream,
+                       layout=os.environ.get("GT_LAYOUT", "rows"))
     # Budget tuning needs only the instance COUNTS; compute them with the
     # pure-XLA projection + binning (the full probe render would run the
     # interpret-mode kernel on CPU — hours at 1M Gaussians).
