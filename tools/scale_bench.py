@@ -8,8 +8,11 @@ screen-space statistics stay scene-like (many small splats + some large
 low-opacity ones). Reports ms/step, MPix/s, instance counts and overflow at
 each point. Timing: chained on-device fori_loop, one dispatch (see bench.py).
 
-Usage: PYTHONPATH=/root/repo python tools/scale_bench.py [n1 n2 ...]
+Usage: PYTHONPATH=/root/repo python tools/scale_bench.py [--variant V] [n1 n2 ...]
 Default points: 17618 100000 200000 500000 1000000
+Variants: default | transposed | bf16 — the layout/precision axes the
+deviceless compiler analysis says matter most at scale (BENCH_SCALE.md);
+run each on-chip to decide the large-scene default.
 """
 
 import math
@@ -40,8 +43,22 @@ def build_scene(pcd, n_target, rng):
     return GaussianScene.from_pcd(big, max_sh_degree=1)
 
 
+VARIANTS = {
+    "default": {},
+    "transposed": {"layout": "transposed"},  # fp32-only (render/__init__.py)
+    "bf16": {"precision": "bf16"},
+}
+
+
 def main():
-    points = [int(a) for a in sys.argv[1:]] or [17618, 100_000, 200_000, 500_000, 1_000_000]
+    argv = list(sys.argv[1:])
+    variant = "default"
+    if "--variant" in argv:
+        i = argv.index("--variant")
+        variant = argv[i + 1]
+        del argv[i:i + 2]
+    cfg_kwargs = VARIANTS[variant]
+    points = [int(a) for a in argv] or [17618, 100_000, 200_000, 500_000, 1_000_000]
     import jax
     import jax.lax as lax
 
@@ -72,11 +89,12 @@ def main():
     bg = jnp.zeros(3, jnp.float32)
     slrs = jnp.asarray(extent, jnp.float32)
 
+    print(f"variant={variant} ({cfg_kwargs or 'row-major fp32'})", flush=True)
     print(f"{'gaussians':>10} {'n_inst':>9} {'budget':>9} {'ovf':>8} "
           f"{'ms/step':>8} {'MPix/s':>7} {'vs_base':>7}", flush=True)
     for n in points:
         scene = build_scene(pcd, n, rng)
-        cfg = RenderConfig()
+        cfg = RenderConfig(**cfg_kwargs)
         probe = render(cam, scene, cfg)
         n_inst = int(np.asarray(probe["n_instances"]))
         cfg = tune_config(cfg, {k: int(np.asarray(probe[k]))
