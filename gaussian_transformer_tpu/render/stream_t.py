@@ -323,15 +323,18 @@ def _bwd_kernel_t(
             def csum(v):  # [P, chunk] -> [1, chunk] (sum over pixels)
                 return jnp.sum(v, axis=0, keepdims=True)
 
-            zeros1 = jnp.zeros((1, chunk), jnp.float32)
-            dprops_ref[:, s * chunk:(s + 1) * chunk] = jnp.concatenate(
-                [
-                    csum(g_dx), csum(g_dy), csum(g_a), csum(g_b), csum(g_c),
-                    d_rgb, csum(g_opac_px),
-                    zeros1, zeros1, zeros1, zeros1, zeros1, zeros1, zeros1,
-                ],
-                axis=0,
-            )
+            # Row-wise stores instead of one 14-piece axis-0 concatenate: the
+            # terminal's Mosaic rejects mixed-sublane-offset tpu.concatenate
+            # ("result/input offset mismatch on non-concat dimension").
+            col = slice(s * chunk, (s + 1) * chunk)
+            dprops_ref[0:1, col] = csum(g_dx)
+            dprops_ref[1:2, col] = csum(g_dy)
+            dprops_ref[2:3, col] = csum(g_a)
+            dprops_ref[3:4, col] = csum(g_b)
+            dprops_ref[4:5, col] = csum(g_c)
+            dprops_ref[5:8, col] = d_rgb
+            dprops_ref[8:9, col] = csum(g_opac_px)
+            dprops_ref[9:16, col] = jnp.zeros((PROPS_F - 9, chunk), jnp.float32)
 
             pref[:] = color_pref + jnp.concatenate(chunk_totals, axis=1)
             t_scr[:] = t_run * _lane_product(1.0 - alpha * live_k)
