@@ -116,7 +116,7 @@ def bench_step(scene, cam, extent, precision="fp32", use_stream=True):
     # Right-size the instance budget to this scene (same policy the trainer
     # applies at startup; binning work is linear in the budget).
     probe = render(cam, scene, cfg)
-    counts = {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded") if k in probe}
+    counts = {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded", "n_tiles") if k in probe}
     cfg = tune_config(cfg, counts)
 
     adam = AdamState.init(scene)

@@ -39,9 +39,20 @@ def tune_config(cfg, probe, headroom: float = 1.5, floor: int = 8192):
     small splats run ~2x faster at measured budgets. Budgets land on a 32k
     grain so retunes rarely recompile.
 
-    ``probe``: the dict returned by ``render`` (uses ``n_instances`` and, for
-    the stream path, ``n_padded``); an int is accepted as a bare true-instance
-    count for backward compatibility."""
+    ``probe``: the dict returned by ``render`` (uses ``n_instances``, and for
+    the stream path ``n_padded`` + ``n_tiles``); an int is accepted as a bare
+    true-instance count for backward compatibility.
+
+    The stream budget is additionally CAPPED at the exact worst-case padding
+    bound ``max_instances + n_tiles * chunk`` (each covered tile wastes at
+    most chunk-1 rows), iterated with the SMEM chunk rule to a fixed point.
+    The probe renders at auto (worst-case) budgets, so its chunk — and hence
+    its measured padding — can be far larger than the tuned config's: at 1M
+    Gaussians the probe's chunk-256 padding, x1.5 headroom, used to yield a
+    5.1M-row budget that itself forced chunk 128, where the bound gives a
+    guaranteed-overflow-free 3.2M rows at chunk 64 (measured on-chip: the
+    kernels walk ~40% less dead padding). At small scenes the measured-
+    padding estimate is smaller than the bound and wins unchanged."""
     grain = 32768
 
     def bucket(n):
@@ -51,11 +62,25 @@ def tune_config(cfg, probe, headroom: float = 1.5, floor: int = 8192):
     if isinstance(probe, dict):
         n_true = int(probe["n_instances"])
         n_padded = int(probe.get("n_padded", 0))
+        n_tiles = int(probe.get("n_tiles", 0))
     else:
-        n_true, n_padded = int(probe), 0
+        n_true, n_padded, n_tiles = int(probe), 0, 0
     cfg = cfg.replace(max_instances=bucket(n_true))
     if n_padded:
-        cfg = cfg.replace(max_stream=bucket(n_padded))
+        stream = bucket(n_padded)
+        if n_tiles:
+            for _ in range(8):
+                chunk = cfg.chunk
+                if not chunk:
+                    chunk = 32
+                    while chunk < 1024 and (stream + chunk - 1) // chunk > _MAX_CHUNKS:
+                        chunk *= 2
+                bound = cfg.max_instances + n_tiles * chunk
+                bound = ((bound + grain - 1) // grain) * grain
+                if bound >= stream:
+                    break
+                stream = bound
+        cfg = cfg.replace(max_stream=stream)
     return cfg
 
 
@@ -223,6 +248,7 @@ def render(
             "overflow": binned.overflow,
             "n_instances": binned.n_instances,
             "n_padded": binned.n_padded,
+            "n_tiles": grid_w * grid_h,
         }
 
     binned = bin_gaussians(

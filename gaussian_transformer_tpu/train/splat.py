@@ -277,7 +277,7 @@ def training(
         if g.capacity < 50_000:
             return cfg
         probe = render(scene_obj.get_train_cameras()[0], g, cfg, bg_color=bg)
-        return tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded") if k in probe})
+        return tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded", "n_tiles") if k in probe})
 
     render_cfg = _retune(render_cfg, gaussians)
 

@@ -65,7 +65,7 @@ def main():
         cfg = cfgs[name]
         probe = render(cam, scene, cfg)
         n_inst = int(np.asarray(probe["n_instances"]))
-        cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded") if k in probe})
+        cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded", "n_tiles") if k in probe})
         ovf = int(np.asarray(render(cam, scene, cfg)["overflow"]))
         adam = AdamState.init(scene)
         stats = DensifyStats.init(scene.capacity)

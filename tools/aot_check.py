@@ -70,7 +70,8 @@ def build_step(scene, cam, extent, precision, use_stream=True):
         chunk=_auto_chunk(scene.capacity, gw * gh, cfg),
     )
     counts = {"n_instances": int(np.asarray(b.n_instances)),
-              "n_padded": int(np.asarray(b.n_padded))}
+              "n_padded": int(np.asarray(b.n_padded)),
+              "n_tiles": gw * gh}
     cfg = tune_config(cfg, counts)
 
     adam = AdamState.init(scene)

@@ -41,7 +41,7 @@ def main():
     )
     cfg = RenderConfig()
     probe = render(cam, scene, cfg)
-    cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded") if k in probe})
+    cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded", "n_tiles") if k in probe})
     print(f"n={n_gauss} I={cfg.max_instances} stream={cfg.max_stream} "
           f"chunk={_auto_chunk(n_gauss, num_tiles(WIDTH) * num_tiles(HEIGHT), cfg)}",
           flush=True)

@@ -48,7 +48,7 @@ def main():
     )
     cfg = RenderConfig()
     probe = render(cam, scene, cfg)
-    cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded") if k in probe})
+    cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded", "n_tiles") if k in probe})
     I = cfg.max_instances
     print(f"budget I={I}", flush=True)
 

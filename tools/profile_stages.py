@@ -55,7 +55,7 @@ def main():
     cfg = RenderConfig()
     probe = render(cam, scene, cfg)
     n_inst = int(np.asarray(probe["n_instances"]))
-    cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded") if k in probe})
+    cfg = tune_config(cfg, {k: int(np.asarray(probe[k])) for k in ("n_instances", "n_padded", "n_tiles") if k in probe})
     print(f"n_inst={n_inst} budgets I={cfg.max_instances} stream={cfg.max_stream}", flush=True)
 
     tan_fovx = math.tan(cam.fovx * 0.5)
