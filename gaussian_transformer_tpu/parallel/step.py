@@ -111,9 +111,9 @@ def _make_manual_loss(scene, cams, opt, render_cfg, mesh, data_axis="data", gaus
                 max_instances=render_cfg.max_instances,
                 max_stream=render_cfg.max_stream, chunk=chunk,
             )
-            order = binned.order
+            # v4 stream layout indexes the original arrays — no order gathers.
             img_pad, _ = stream_image(
-                binned, m2[order], con[order], rgb[order], opa[order], bg_r,
+                binned, m2, con, rgb, opa, bg_r,
                 grid_w=gw, grid_h=gh, precision=render_cfg.precision,
                 block_rows=render_cfg.block_rows,
             )

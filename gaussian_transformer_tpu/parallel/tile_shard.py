@@ -189,10 +189,10 @@ def render_tile_sharded(
         max_instances=cfg.max_instances, max_stream=cfg.max_stream,
         chunk=_auto_chunk(means2d.shape[0], grid_w * grid_h, cfg),
     )
-    order = binned.order
+    # v4 stream layout indexes the original arrays — no order gathers.
     img_pad, t_pad = stream_image_tile_sharded(
-        binned, means2d[order], proj.conics[order], proj.rgbs[order],
-        proj.opacities[order], bg, grid_w=grid_w, grid_h=grid_h,
+        binned, means2d, proj.conics, proj.rgbs,
+        proj.opacities, bg, grid_w=grid_w, grid_h=grid_h,
         mesh=mesh, axis=axis,
     )
     return {

@@ -215,23 +215,25 @@ def render(
             max_stream=cfg.max_stream,
             chunk=_auto_chunk(means2d.shape[0], grid_w * grid_h, cfg),
         )
-        order = binned.order
+        # v4 stream layout: stream_gauss indexes the ORIGINAL arrays (depth
+        # ordering rides the two-key instance sort), so no order gathers here
+        # — and no scatter-add VJPs for them in the backward.
         if cfg.layout == "transposed":
             from gaussian_transformer_tpu.render.stream_t import stream_image_t
 
             assert cfg.precision == "fp32", "transposed layout is fp32-only"
             img_pad, t_pad = stream_image_t(
-                binned, means2d[order], proj.conics[order], proj.rgbs[order],
-                proj.opacities[order], bg, grid_w=grid_w, grid_h=grid_h,
+                binned, means2d, proj.conics, proj.rgbs,
+                proj.opacities, bg, grid_w=grid_w, grid_h=grid_h,
                 block_rows=cfg.block_rows,
             )
         else:
             img_pad, t_pad = stream_image(
                 binned,
-                means2d[order],
-                proj.conics[order],
-                proj.rgbs[order],
-                proj.opacities[order],
+                means2d,
+                proj.conics,
+                proj.rgbs,
+                proj.opacities,
                 bg,
                 grid_w=grid_w,
                 grid_h=grid_h,

@@ -218,6 +218,62 @@ def _expand_unsorted(means2d, depths, radii, include, grid_w, grid_h, R, I):
     return order, tile_id, gauss_i, cap_overflow, jnp.sum(cov_raw), offsets, cov
 
 
+def _expand_orig(means2d, depths, radii, include, grid_w, grid_h, R, I):
+    """Instance expansion in ORIGINAL gaussian order (no depth pre-sort) for
+    the stream path: returns (tile_id [I], gauss_i [I], depth_i [I],
+    cap_overflow [], total_raw [], offsets [C], cov [C]). Sentinels: tile T,
+    gaussian C, depth +inf. Depth ordering is applied later by the two-key
+    (tile, depth) instance sort in ``bin_stream``.
+
+    The per-instance rect lookup rides TWO flat int32 gathers plus one f32
+    depth gather — (min_x, min_y, w) bit-packed into one word — instead of a
+    packed [I, 4] row gather: XLA:TPU lowers narrow row gathers several times
+    slower than flat ones (measured on-chip, BENCH_SCALE.md).
+    """
+    C = means2d.shape[0]
+    T = grid_w * grid_h
+    assert grid_w < 1024 and grid_h < 1024  # 10-bit rect fields
+
+    min_x, min_y, max_x, max_y = compute_rects(means2d, radii, grid_w, grid_h)
+    w = max_x - min_x  # [C] tiles covered horizontally
+    cov_raw = w * (max_y - min_y)
+    cov_raw = jnp.where(include, cov_raw, 0)
+    cov = jnp.minimum(cov_raw, R)
+
+    # Instance layout without materializing [C, R]: gaussian i owns the
+    # contiguous instance range [offsets[i], offsets[i] + cov[i]). The
+    # instance -> gaussian map is scatter-max + cummax (owner of slot j is
+    # max{i : offsets[i] <= j}) — searchsorted lowers poorly on TPU.
+    offsets = jnp.concatenate([jnp.zeros(1, cov.dtype), jnp.cumsum(cov)[:-1]])
+    total = offsets[-1] + cov[-1]
+    j = jnp.arange(I, dtype=jnp.int32)
+    seed = jnp.full((I,), -1, jnp.int32)
+    marks = seed.at[offsets].max(jnp.arange(C, dtype=jnp.int32), mode="drop")
+    gauss_raw = jax.lax.cummax(marks)
+    inst_valid = (j < total) & (gauss_raw >= 0)
+    gi_safe = jnp.clip(gauss_raw, 0, C - 1)
+
+    # Instance r of gaussian i covers tile (min_x + r%w, min_y + r//w).
+    w_safe = jnp.maximum(w, 1)
+    rect_pack = min_x | (min_y << 10) | (w_safe << 20)  # [C] int32
+    rp = rect_pack[gi_safe]  # [I] flat gather
+    off_g = offsets[gi_safe].astype(jnp.int32)  # [I] flat gather
+    dep_g = depths[gi_safe]  # [I] flat gather
+    r_i = j - off_g
+    w_g = rp >> 20
+    tx = (rp & 1023) + r_i % w_g
+    ty = ((rp >> 10) & 1023) + r_i // w_g
+    tile_id = jnp.where(inst_valid, ty * grid_w + tx, T).astype(jnp.int32)
+    gauss_i = jnp.where(inst_valid, gi_safe, C).astype(jnp.int32)
+    depth_i = jnp.where(inst_valid, dep_g, jnp.inf)
+
+    cap_overflow = (
+        jnp.sum(cov_raw - cov)  # per-gaussian coverage cap
+        + jnp.maximum(total - I, 0)  # global instance budget
+    )
+    return tile_id, gauss_i, depth_i, cap_overflow, jnp.sum(cov_raw), offsets, cov
+
+
 class StreamBinned(NamedTuple):
     """Padded-CSR instance stream for the stream compositor (stream.py).
 
@@ -225,10 +281,16 @@ class StreamBinned(NamedTuple):
     chunk size so every chunk-row block belongs to exactly one tile (the
     granularity is recoverable as I_pad // len(chunk_tile)); padding rows use
     the gaussian sentinel C (whose property row is all zeros -> alpha 0).
+
+    v4 layout note: ``stream_gauss`` indexes the ORIGINAL (unsorted)
+    per-Gaussian arrays and ``order`` is the identity. Depth ordering rides
+    the (tile, depth) two-key instance sort instead of a global pre-sort, so
+    the renderer no longer gathers 10 property columns through a depth
+    permutation (and, critically, its backward no longer scatter-adds them).
     """
 
-    order: jnp.ndarray  # [C] int32 — gaussian index by ascending depth
-    stream_gauss: jnp.ndarray  # [I_pad] int32 — depth-sorted gaussian idx, C = pad
+    order: jnp.ndarray  # [C] int32 — IDENTITY (kept for API stability)
+    stream_gauss: jnp.ndarray  # [I_pad] int32 — original gaussian idx, C = pad
     chunk_tile: jnp.ndarray  # [I_pad // chunk] int32 — tile id per chunk, T = trash
     tile_counts: jnp.ndarray  # [T] int32 — TRUE (uncapped) instances per tile
     covered: jnp.ndarray  # [T] bool — tile has >= 1 chunk inside the budget
@@ -237,9 +299,9 @@ class StreamBinned(NamedTuple):
     n_padded: jnp.ndarray  # [] int32 — padded stream length actually needed
     # Gradient-pullback layout (stream.stream_gather): position of each
     # UNSORTED (gaussian-major) instance in the padded stream (I_pad =
-    # dropped), and each depth-sorted Gaussian's [offset, offset+cov) range in
-    # that unsorted instance domain. Together they turn the stream->gaussian
-    # grad reduction into gather + cumsum + boundary-gather (no colliding
+    # dropped), and each Gaussian's [offset, offset+cov) range in that
+    # unsorted instance domain. Together they turn the stream->gaussian grad
+    # reduction into gather + cumsum + boundary-gather (no colliding
     # scatter-add, which TPU serializes).
     pos_unsorted: jnp.ndarray  # [I] int32
     gauss_offsets: jnp.ndarray  # [C] int32
@@ -267,18 +329,30 @@ def bin_stream(
 ) -> StreamBinned:
     """Bin into the padded-CSR stream layout (no per-tile K cap, no [T, K]
     table): tile runs live contiguously in one [I_pad] stream at chunk-aligned
-    starts.
+    starts, front-to-back within each run.
 
-    The layout is built entirely from SCANS over the tile-sorted instances —
-    run boundaries by neighbor compare, ranks/starts by cummax/cumsum segment
-    broadcasting — plus ONE unique-index scatter into the stream. No [T]-sized
-    histogram scatter-add, no gathers through [T] tables: TPU scatters with
-    colliding indices were the dominant binning cost.
+    v4 pipeline (each choice measured on the chip, BENCH_SCALE.md):
+
+      * instances expand in ORIGINAL gaussian order (no global depth
+        pre-sort), then ONE stable two-key ``lax.sort`` by (tile id, depth)
+        orders every tile run front-to-back — TPU sorts are nearly free
+        (~2 ms at 2.7M instances) while the old depth argsort + 10 permuted
+        property gathers (and their scatter-add VJPs in the backward) were
+        tens of ms;
+      * the layout math is SCANS over the sorted instances — run boundaries
+        by neighbor compare, ranks/starts by cummax/cumsum segment
+        broadcasting;
+      * the stream is built by FLAT scalar scatters with unique indices
+        (one per output column). The previous single [I, 2] row scatter
+        into an [I_pad, 2] table cost 106 ms at 1M Gaussians — XLA:TPU
+        lowers narrow row scatters ~9x worse than flat ones.
 
     Budgets: ``max_instances`` bounds the expansion/sort domain (true
     instances, 0 = 16*C); ``max_stream`` bounds the chunk-padded stream
     (0 = max_instances + chunk * tiles/2 estimate). Instances beyond either
-    are dropped and counted in ``overflow``.
+    are dropped and counted in ``overflow`` (budget overflow drops by
+    original index — size budgets so it stays 0; the per-gaussian rect cap
+    still sheds raster-order tiles exactly like the pre-v4 layout).
 
     ``chunk``: stream layout granularity (rows per compositor chunk). Large
     scenes use bigger chunks so the kernel's scalar-prefetched chunk->tile map
@@ -291,14 +365,14 @@ def bin_stream(
     I_pad = ((I_pad + chunk - 1) // chunk) * chunk
     G = I_pad // chunk
 
-    order, tile_id, gauss_i, cap_overflow, total_raw, offsets, cov = _expand_unsorted(
+    tile_id, gauss_i, depth_i, cap_overflow, total_raw, offsets, cov = _expand_orig(
         means2d, depths, radii, include, grid_w, grid_h, max_tiles_per_gaussian, I
     )
     i_iota = jnp.arange(I, dtype=jnp.int32)
-    # Stable tile sort carrying (gaussian, unsorted-index) payloads; the
-    # second payload is the sort permutation the gradient pullback inverts.
-    sorted_tiles, sorted_gauss, sorted_u = jax.lax.sort(
-        (tile_id, gauss_i, i_iota), num_keys=1, is_stable=True
+    # Stable (tile, depth) sort carrying (gaussian, unsorted-index) payloads;
+    # the second payload is the sort permutation the gradient pullback inverts.
+    sorted_tiles, _, sorted_gauss, sorted_u = jax.lax.sort(
+        (tile_id, depth_i, gauss_i, i_iota), num_keys=2, is_stable=True
     )
 
     valid = sorted_tiles < T
@@ -321,28 +395,25 @@ def bin_stream(
     seg_pstart = jax.lax.cummax(jnp.where(boundary, pstart_excl, -1))
     n_padded = jnp.sum(incr)
 
-    # ONE unique-index row scatter builds the stream: (gaussian, tile) pairs
-    # land at their padded slot; dropped/invalid instances land at distinct
-    # out-of-bounds slots (mode="drop" discards them).
+    # Flat unique-index scatters build the stream; dropped/invalid instances
+    # land at distinct out-of-bounds slots (mode="drop" discards them).
     in_budget = valid & (seg_pstart + rank < I_pad)
     pos = jnp.where(in_budget, seg_pstart + rank, I_pad + i_iota)
-    packed = jnp.stack([sorted_gauss, sorted_tiles], axis=1)  # [I, 2]
-    stream = (
-        jnp.concatenate(
-            [jnp.full((I_pad, 1), C, jnp.int32), jnp.full((I_pad, 1), T, jnp.int32)],
-            axis=1,
-        )
+    stream_gauss = (
+        jnp.full((I_pad,), C, jnp.int32)
         .at[pos]
-        .set(packed, mode="drop", unique_indices=True)
+        .set(sorted_gauss, mode="drop", unique_indices=True)
     )
-    stream_gauss = stream[:, 0]
-    # Chunk -> tile map by GATHER, not scatter: every chunk-start slot inside a
-    # run holds a real instance (runs are padded only at their tails), so the
-    # strided read of the scattered tile column is exact; slots past the last
-    # run keep the trash-tile init. (The previous scatter-max over [I]
-    # first-chunk seeds serialized on TPU — all non-boundary rows collided on
-    # one sentinel slot.)
-    chunk_tile = stream[::chunk, 1]
+    # Chunk -> tile map: only the chunk-start instances seed it (every
+    # chunk-start slot inside a run holds a real instance — runs pad only at
+    # their tails); chunks past the last run keep the trash-tile init.
+    is_cs = in_budget & (pos % chunk == 0)
+    cpos = jnp.where(is_cs, pos // chunk, G + i_iota)
+    chunk_tile = (
+        jnp.full((G,), T, jnp.int32)
+        .at[cpos]
+        .set(sorted_tiles, mode="drop", unique_indices=True)
+    )
 
     # Gradient-pullback permutation: where each UNSORTED instance landed in
     # the padded stream (I_pad = dropped). sorted_u is a permutation, so the
@@ -362,7 +433,7 @@ def bin_stream(
 
     overflow = cap_overflow + jnp.sum((valid & ~in_budget).astype(jnp.int32))
     return StreamBinned(
-        order=order,
+        order=jnp.arange(C, dtype=jnp.int32),
         stream_gauss=stream_gauss,
         chunk_tile=chunk_tile,
         tile_counts=counts,
