@@ -32,7 +32,7 @@ from gaussian_transformer_tpu.render.composite import composite_image
 __all__ = ["render", "render_naive", "RenderConfig", "TILE", "tune_config"]
 
 
-def tune_config(cfg, probe, headroom: float = 1.5, floor: int = 8192):
+def tune_config(cfg, probe, headroom: float = 0.0, floor: int = 8192):
     """Right-size the static instance budgets from a probe render's measured
     counts. The per-instance sort/scan work is LINEAR in the budgets, and the
     auto budgets are sized for worst-case fresh scenes — trained scenes with
@@ -50,13 +50,19 @@ def tune_config(cfg, probe, headroom: float = 1.5, floor: int = 8192):
     its measured padding — can be far larger than the tuned config's: at 1M
     Gaussians the probe's chunk-256 padding, x1.5 headroom, used to yield a
     5.1M-row budget that itself forced chunk 128, where the bound gives a
-    guaranteed-overflow-free 3.2M rows at chunk 64 (measured on-chip: the
-    kernels walk ~40% less dead padding). At small scenes the measured-
-    padding estimate is smaller than the bound and wins unchanged."""
+    guaranteed-overflow-free 3.2M rows at chunk 64. At small scenes the
+    measured-padding estimate is smaller than the bound and wins unchanged.
+
+    ``headroom`` 0.0 = scale-adaptive: x1.5 up to 512k measured instances
+    (densify growth between retunes is percentage-wise large on small
+    scenes), x1.25 above (kernel + binning cost is linear in the budgets,
+    dead headroom rows cost real milliseconds at millions of instances;
+    late-training growth per densify round is a few percent, and a retune
+    past the margin is just one recompile)."""
     grain = 32768
 
-    def bucket(n):
-        want = max(floor, int(n * headroom))
+    def bucket(n, hr):
+        want = max(floor, int(n * hr))
         return ((want + grain - 1) // grain) * grain
 
     if isinstance(probe, dict):
@@ -65,9 +71,10 @@ def tune_config(cfg, probe, headroom: float = 1.5, floor: int = 8192):
         n_tiles = int(probe.get("n_tiles", 0))
     else:
         n_true, n_padded, n_tiles = int(probe), 0, 0
-    cfg = cfg.replace(max_instances=bucket(n_true))
+    hr = headroom if headroom > 0.0 else (1.5 if n_true <= 512 * 1024 else 1.25)
+    cfg = cfg.replace(max_instances=bucket(n_true, hr))
     if n_padded:
-        stream = bucket(n_padded)
+        stream = bucket(n_padded, hr)
         if n_tiles:
             for _ in range(8):
                 chunk = cfg.chunk

@@ -165,47 +165,23 @@ def _fwd_kernel(
             blk = props_ref[pl.ds(s * chunk, chunk), :]
             alpha, _, rgb, *_ = _alpha_math(blk, px, py)
 
-            ecp = _exclusive_cumprod_rows(1.0 - alpha)
-            t_in = ecp * t_run
-            # Masking the trigger by live is semantics-preserving (dead pixels
-            # contribute nothing either way) and keeps already-dead pixels
-            # from forcing the slow path on every later chunk of the tile.
-            trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4) & (lv > 0.0)
-            has_trig = jnp.max(trigger.astype(jnp.float32)) > 0.0
+            t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
+            trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
+            done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
+            live_k = jnp.where(done_inc, 0.0, lv)
 
-            # Fast path (the overwhelmingly common case): no pixel saturates
-            # in this chunk, so the or-scan and the row-product scan collapse
-            # — the inclusive cumprod's last row is ecp[-1] * (1 - alpha[-1]).
-            @pl.when(jnp.logical_not(has_trig))
-            def _():
-                w = alpha * t_in * lv
-                color = acc[0:3] + jax.lax.dot_general(
-                    rgb, w, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                icp_last = ecp[-1:] * (1.0 - alpha[-1:])
-                t_new = jnp.where(lv > 0.0, t_run * icp_last, t_run)
-                acc[:] = jnp.concatenate([color, t_new], axis=0)
-
-            # Saturation path: a contribution would push T below 1e-4 — the
-            # pixel terminates and the triggering contribution is excluded
-            # (upstream semantics).
-            @pl.when(has_trig)
-            def _():
-                done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
-                live_k = jnp.where(done_inc, 0.0, lv)
-
-                w = alpha * t_in * live_k
-                color = acc[0:3] + jax.lax.dot_general(
-                    rgb, w, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes:
-                    # keep color accumulation bit-comparable with the XLA golden
-                )
-                t_new = t_run * _row_product(1.0 - alpha * live_k)
-                acc[:] = jnp.concatenate([color, t_new], axis=0)
-                live[:] = lv * (1.0 - done_inc[-1:].astype(jnp.float32))
+            w = alpha * t_in * live_k
+            color = acc[0:3] + jax.lax.dot_general(
+                rgb, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes: keep
+                # the color accumulation bit-comparable with the XLA/golden refs
+            )
+            # (A no-saturation fast path skipping the or-scan/row-product was
+            # measured a ~2.5% LOSS at 1M: saturation triggers are common in
+            # the active band of real tiles, so the branch mostly misfires.)
+            t_new = t_run * _row_product(1.0 - alpha * live_k)
+            acc[:] = jnp.concatenate([color, t_new], axis=0)
+            live[:] = lv * (1.0 - done_inc[-1:].astype(jnp.float32))
 
         return 0
 
@@ -298,78 +274,59 @@ def _bwd_kernel(
             g_color = tile_scr[cur, 4:7]
             g_t = tile_scr[cur, 7:8]
 
-            ecp = _exclusive_cumprod_rows(1.0 - alpha)
-            t_in = ecp * t_run
-            # Live-masked trigger (see the forward kernel): identical math,
-            # but dead pixels no longer force the saturation path.
-            trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4) & (live > 0.0)
-            has_trig = jnp.max(trigger.astype(jnp.float32)) > 0.0
+            t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
+            trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
+            done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
+            live_k = jnp.where(done_inc, 0.0, live)
+            w = alpha * t_in * live_k
 
-            def emit(live_k):
-                """Gradient emission shared by both paths (traced twice)."""
-                w = alpha * t_in * live_k
+            d_rgb = jax.lax.dot_general(
+                w, g_color, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
-                d_rgb = jax.lax.dot_general(
-                    w, g_color, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+            one_minus = jnp.maximum(1.0 - alpha, 1e-6)
+            g_alpha = -g_t * t_final / one_minus
+            color_pref = pref[:]
+            chunk_totals = []
+            for ch3 in range(3):
+                contrib_c = w * rgb[:, ch3 : ch3 + 1]
+                prefix_c = _inclusive_cumsum_rows(contrib_c)
+                suffix_c = (c_total[ch3 : ch3 + 1] - color_pref[ch3 : ch3 + 1]) - prefix_c
+                g_alpha = g_alpha + g_color[ch3 : ch3 + 1] * (
+                    rgb[:, ch3 : ch3 + 1] * t_in - suffix_c / one_minus
                 )
+                chunk_totals.append(prefix_c[-1:])
+            g_alpha = g_alpha * live_k * jnp.where(alpha > 0.0, 1.0, 0.0)
 
-                one_minus = jnp.maximum(1.0 - alpha, 1e-6)
-                g_alpha = -g_t * t_final / one_minus
-                color_pref = pref[:]
-                chunk_totals = []
-                for ch3 in range(3):
-                    contrib_c = w * rgb[:, ch3 : ch3 + 1]
-                    prefix_c = _inclusive_cumsum_rows(contrib_c)
-                    suffix_c = (c_total[ch3 : ch3 + 1] - color_pref[ch3 : ch3 + 1]) - prefix_c
-                    g_alpha = g_alpha + g_color[ch3 : ch3 + 1] * (
-                        rgb[:, ch3 : ch3 + 1] * t_in - suffix_c / one_minus
-                    )
-                    chunk_totals.append(prefix_c[-1:])
-                g_alpha = g_alpha * live_k * jnp.where(alpha > 0.0, 1.0, 0.0)
+            capped = alpha_raw > 0.99
+            g_alpha = jnp.where(capped, 0.0, g_alpha)
+            g_power = g_alpha * alpha
+            opac_safe = jnp.maximum(opac, 1e-12)
+            g_opac_px = g_alpha * alpha / opac_safe
 
-                capped = alpha_raw > 0.99
-                g_alpha = jnp.where(capped, 0.0, g_alpha)
-                g_power = g_alpha * alpha
-                opac_safe = jnp.maximum(opac, 1e-12)
-                g_opac_px = g_alpha * alpha / opac_safe
+            g_dx = g_power * (-(a * dx) - b * dy)
+            g_dy = g_power * (-(c * dy) - b * dx)
+            g_a = g_power * (-0.5 * dx * dx)
+            g_b = g_power * (-(dx * dy))
+            g_c = g_power * (-0.5 * dy * dy)
 
-                g_dx = g_power * (-(a * dx) - b * dy)
-                g_dy = g_power * (-(c * dy) - b * dx)
-                g_a = g_power * (-0.5 * dx * dx)
-                g_b = g_power * (-(dx * dy))
-                g_c = g_power * (-0.5 * dy * dy)
+            def rsum(v):
+                return jnp.sum(v, axis=1, keepdims=True)
 
-                def rsum(v):
-                    return jnp.sum(v, axis=1, keepdims=True)
+            zeros1 = jnp.zeros((chunk, 1), jnp.float32)
+            dprops_ref[pl.ds(s * chunk, chunk), :] = jnp.concatenate(
+                [
+                    rsum(g_dx), rsum(g_dy), rsum(g_a), rsum(g_b), rsum(g_c),
+                    d_rgb, rsum(g_opac_px),
+                    zeros1, zeros1, zeros1, zeros1, zeros1, zeros1, zeros1,
+                ],
+                axis=1,
+            )
 
-                zeros1 = jnp.zeros((chunk, 1), jnp.float32)
-                dprops_ref[pl.ds(s * chunk, chunk), :] = jnp.concatenate(
-                    [
-                        rsum(g_dx), rsum(g_dy), rsum(g_a), rsum(g_b), rsum(g_c),
-                        d_rgb, rsum(g_opac_px),
-                        zeros1, zeros1, zeros1, zeros1, zeros1, zeros1, zeros1,
-                    ],
-                    axis=1,
-                )
-                pref[:] = color_pref + jnp.concatenate(chunk_totals, axis=0)
-
-            # Fast path: no saturation event in this chunk — the or-scan and
-            # row-product scans collapse (see the forward kernel).
-            @pl.when(jnp.logical_not(has_trig))
-            def _():
-                emit(live)
-                icp_last = ecp[-1:] * (1.0 - alpha[-1:])
-                t_scr[:] = jnp.where(live > 0.0, t_run * icp_last, t_run)
-
-            @pl.when(has_trig)
-            def _():
-                done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
-                live_k = jnp.where(done_inc, 0.0, live)
-                emit(live_k)
-                t_scr[:] = t_run * _row_product(1.0 - alpha * live_k)
-                live_scr[:] = live * (1.0 - done_inc[-1:].astype(jnp.float32))
+            pref[:] = color_pref + jnp.concatenate(chunk_totals, axis=0)
+            t_scr[:] = t_run * _row_product(1.0 - alpha * live_k)
+            live_scr[:] = live * (1.0 - done_inc[-1:].astype(jnp.float32))
 
         @pl.when(jnp.logical_not(active))
         def _():

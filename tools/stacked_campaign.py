@@ -164,12 +164,22 @@ def run_eval(args):
     optimizer = optax.adafactor(learning_rate=1.0, min_dim_size_to_factor=128)
     opt_state = optimizer.init(params)
 
-    tags = [d.split("_step")[1] for d in os.listdir(args.out)
-            if d.startswith("checkpoint_step")]
-    assert tags, f"no checkpoint_step* under {args.out}"
-    latest = max(int(t) for t in tags)
-    params, _ = load_checkpoint(args.out, f"step{latest}", params, opt_state)
-    print(f"evaluating checkpoint_step{latest}")
+    if os.path.isdir(os.path.join(args.out, "orbax")):
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        mgr = orbax_ckpt.make_manager(args.out)
+        restored = orbax_ckpt.restore(mgr, {"params": params, "opt_state": opt_state})
+        assert restored is not None, f"no orbax checkpoint under {args.out}/orbax"
+        params = restored["params"]
+        latest = int(mgr.latest_step())
+        print(f"evaluating orbax step {latest}")
+    else:
+        tags = [d.split("_step")[1] for d in os.listdir(args.out)
+                if d.startswith("checkpoint_step")]
+        assert tags, f"no checkpoint_step* under {args.out}"
+        latest = max(int(t) for t in tags)
+        params, _ = load_checkpoint(args.out, f"step{latest}", params, opt_state)
+        print(f"evaluating checkpoint_step{latest}")
 
     # Deterministic held-out window: fixed rng, mid-training dropout schedule.
     tscene.rng = np.random.RandomState(1234)
@@ -235,6 +245,12 @@ def main():
                         help="end-of-campaign quality eval: greedy-decode a "
                         "held-out window from the latest checkpoint, render "
                         "decoded vs target over the camera ring, write EVAL.md")
+    parser.add_argument("--orbax", action="store_true",
+                        help="checkpoint via the Orbax async manager "
+                        "(train/orbax_ckpt.py) instead of the npz pair: the "
+                        "3.8 GB bf16 param snapshot writes in a background "
+                        "thread (training does not stall), atomically, with "
+                        "bounded history; --resume restores the latest step")
     args = parser.parse_args()
 
     if args.report_only:
@@ -311,9 +327,29 @@ def main():
         json.dump(meta, f)
     csv_path = os.path.join(args.out, "loss_curve.csv")
 
+    mgr = None
+    if args.orbax:
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        assert orbax_ckpt.available(), "--orbax requires the orbax package"
+        mgr = orbax_ckpt.make_manager(args.out, max_to_keep=3)
+
     global_step = 0
     epoch = 0
-    if args.resume:
+    if args.resume and mgr is not None:
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        restored = orbax_ckpt.restore(mgr, {"params": params, "opt_state": opt_state})
+        if restored is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+            global_step = int(mgr.latest_step())
+            try:
+                rows = np.genfromtxt(csv_path, delimiter=",", names=True)
+                epoch = int(np.atleast_1d(rows["epoch"])[-1]) + 1
+            except (OSError, IndexError, KeyError, ValueError):
+                pass
+            print(f"resumed from orbax step {global_step} (epoch {epoch})")
+    elif args.resume:
         from gaussian_transformer_tpu.train.stacked import load_checkpoint
 
         tags = [d.split("_step")[1] for d in os.listdir(args.out)
@@ -372,7 +408,15 @@ def main():
                 print(f"step {global_step} chamfer {chamfer:.4f} "
                       f"loss/token {loss/max(batch.ntokens,1):.4f} {dt:.0f}ms", flush=True)
             if global_step % args.ckpt_every == 0:
-                save_checkpoint(args.out, f"step{global_step}", params, opt_state)
+                if mgr is not None:
+                    from gaussian_transformer_tpu.train import orbax_ckpt
+
+                    orbax_ckpt.save(
+                        mgr, global_step,
+                        {"params": params, "opt_state": opt_state},
+                    )
+                else:
+                    save_checkpoint(args.out, f"step{global_step}", params, opt_state)
             if os.path.exists(stop_file):
                 print(f"STOP file seen at step {global_step}; saving and exiting")
                 stopping = True
@@ -383,8 +427,16 @@ def main():
         epoch += 1
     csv.close()
 
-    save_checkpoint(args.out, f"step{global_step}", params, opt_state)
-    print(f"saved checkpoint_step{global_step} under {args.out}")
+    if mgr is not None:
+        from gaussian_transformer_tpu.train import orbax_ckpt
+
+        if mgr.latest_step() != global_step:
+            orbax_ckpt.save(mgr, global_step, {"params": params, "opt_state": opt_state})
+        mgr.wait_until_finished()
+        print(f"saved orbax step {global_step} under {args.out}/orbax")
+    else:
+        save_checkpoint(args.out, f"step{global_step}", params, opt_state)
+        print(f"saved checkpoint_step{global_step} under {args.out}")
     write_report(args.out, meta)
 
 
