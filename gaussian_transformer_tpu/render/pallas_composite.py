@@ -78,8 +78,47 @@ def _chunk_alpha(props_ref, tb, base, px, py):
     return alpha, alpha_raw, rgb, dx, dy, a, b, c, opac
 
 
-def _exclusive_cumprod_rows(one_minus):
-    """Exclusive prefix product along the leading (sublane) axis, Hillis-Steele."""
+import os
+
+# Scan backend for the compositor kernels' leading-axis prefix ops.
+# MXU mode: log-space cumprod + triangular-ones matmuls — the scan chains
+# move from VPU Hillis-Steele doubling (log2(chunk) shifted concat+op steps
+# per scan) onto the MXU. GT_SCAN_MXU: "0" = VPU everywhere, "1" = MXU
+# everywhere, "fwd" = MXU in the forward kernel only.
+#
+# MEASURED NEGATIVE RESULT (round 4, repeated on-chip A/B at 1M/200k,
+# BENCH_SCALE.md): MXU scans LOSE consistently — 1M fwd+bwd 319.7/320.3 ms
+# (fwd mode) and 333.4 (full) vs 312.6/312.7 ms on VPU. The triangular
+# matmuls at HIGHEST precision (6 bf16 passes) plus the log/exp round trips
+# cost more than the log2(chunk) doubling steps they replace, and in the
+# backward they contend with the kernel's two real dots. VPU stays the
+# default; the branches remain for re-testing on future hardware.
+_SCAN_MODE = os.environ.get("GT_SCAN_MXU", "0")
+SCAN_MXU_FWD = _SCAN_MODE in ("1", "fwd")
+SCAN_MXU_BWD = _SCAN_MODE == "1"
+
+
+def _lower_tri(n, strict, dtype=jnp.float32):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((c < r) if strict else (c <= r)).astype(dtype)
+
+
+def _exclusive_cumprod_rows(one_minus, mxu=False):
+    """Exclusive prefix product along the leading (sublane) axis.
+
+    MXU path: the operand is 1 - alpha with alpha capped at 0.99, so it lives
+    in [0.01, 1] and the log-space form exp(L_strict @ log(x)) is safe; the
+    HIGHEST-precision matmul keeps ~fp32 accuracy (the 0/1 matrix is exact in
+    bf16, so the 3-pass decomposition error is the operand's alone)."""
+    if mxu:
+        lg = jnp.log(one_minus)
+        Ls = _lower_tri(one_minus.shape[0], strict=True)
+        s = jax.lax.dot_general(
+            Ls, lg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.exp(s)
     ones_row = jnp.ones((1, one_minus.shape[1]), one_minus.dtype)
     x = jnp.concatenate([ones_row, one_minus[:-1]], axis=0)  # shift down by 1
     s = 1
@@ -90,9 +129,14 @@ def _exclusive_cumprod_rows(one_minus):
     return x  # [CH, P], row k = prod_{j<k} one_minus[j]
 
 
-def _row_product(v):
-    """Product over the leading axis -> [1, P] (Mosaic lacks reduce_prod; doubling
-    product-scan, take the last row)."""
+def _row_product(v, mxu=False):
+    """Product over the leading axis -> [1, P] (Mosaic lacks reduce_prod).
+
+    MXU-mode: log-space sum reduce (every call site's operand is
+    1 - alpha*mask >= 0.01, alpha capped at 0.99 and masks exactly 0/1).
+    VPU-mode: doubling product-scan, take the last row."""
+    if mxu:
+        return jnp.exp(jnp.sum(jnp.log(v), axis=0, keepdims=True))
     x = v
     s = 1
     while s < x.shape[0]:
@@ -102,9 +146,18 @@ def _row_product(v):
     return x[-1:]
 
 
-def _inclusive_or_rows(flags):
+def _inclusive_or_rows(flags, mxu=False):
     """Inclusive OR-scan (as float max) along the leading axis; flags float 0/1.
-    (Mosaic has no cumsum/cummax primitive; Hillis-Steele doubling instead.)"""
+
+    MXU path: an inclusive-ones matmul counts set flags at-or-above each row;
+    0/1 values and counts <= chunk are EXACT in bf16 (8 mantissa bits cover
+    integers to 256), so DEFAULT precision suffices — one MXU pass."""
+    if mxu:
+        Li = _lower_tri(flags.shape[0], strict=False)
+        cnt = jax.lax.dot_general(
+            Li, flags, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        return (cnt > 0.5).astype(flags.dtype)
     x = flags
     s = 1
     while s < x.shape[0]:
@@ -114,8 +167,14 @@ def _inclusive_or_rows(flags):
     return x
 
 
-def _inclusive_cumsum_rows(v):
+def _inclusive_cumsum_rows(v, mxu=False):
     """Inclusive prefix sum along the leading (sublane) axis."""
+    if mxu:
+        Li = _lower_tri(v.shape[0], strict=False)
+        return jax.lax.dot_general(
+            Li, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     x = v
     s = 1
     while s < x.shape[0]:

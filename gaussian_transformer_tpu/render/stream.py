@@ -50,6 +50,8 @@ from gaussian_transformer_tpu.render.tiles import TILE
 from gaussian_transformer_tpu.render.pallas_composite import (
     CH,
     PROPS_F,
+    SCAN_MXU_BWD,
+    SCAN_MXU_FWD,
     _exclusive_cumprod_rows,
     _inclusive_cumsum_rows,
     _inclusive_or_rows,
@@ -165,9 +167,11 @@ def _fwd_kernel(
             blk = props_ref[pl.ds(s * chunk, chunk), :]
             alpha, _, rgb, *_ = _alpha_math(blk, px, py)
 
-            t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
+            t_in = _exclusive_cumprod_rows(1.0 - alpha, mxu=SCAN_MXU_FWD) * t_run
             trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
-            done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
+            done_inc = _inclusive_or_rows(
+                trigger.astype(jnp.float32), mxu=SCAN_MXU_FWD
+            ) > 0.0
             live_k = jnp.where(done_inc, 0.0, lv)
 
             w = alpha * t_in * live_k
@@ -179,7 +183,7 @@ def _fwd_kernel(
             # (A no-saturation fast path skipping the or-scan/row-product was
             # measured a ~2.5% LOSS at 1M: saturation triggers are common in
             # the active band of real tiles, so the branch mostly misfires.)
-            t_new = t_run * _row_product(1.0 - alpha * live_k)
+            t_new = t_run * _row_product(1.0 - alpha * live_k, mxu=SCAN_MXU_FWD)
             acc[:] = jnp.concatenate([color, t_new], axis=0)
             live[:] = lv * (1.0 - done_inc[-1:].astype(jnp.float32))
 
@@ -274,9 +278,11 @@ def _bwd_kernel(
             g_color = tile_scr[cur, 4:7]
             g_t = tile_scr[cur, 7:8]
 
-            t_in = _exclusive_cumprod_rows(1.0 - alpha) * t_run
+            t_in = _exclusive_cumprod_rows(1.0 - alpha, mxu=SCAN_MXU_BWD) * t_run
             trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
-            done_inc = _inclusive_or_rows(trigger.astype(jnp.float32)) > 0.0
+            done_inc = _inclusive_or_rows(
+                trigger.astype(jnp.float32), mxu=SCAN_MXU_BWD
+            ) > 0.0
             live_k = jnp.where(done_inc, 0.0, live)
             w = alpha * t_in * live_k
 
@@ -291,7 +297,7 @@ def _bwd_kernel(
             chunk_totals = []
             for ch3 in range(3):
                 contrib_c = w * rgb[:, ch3 : ch3 + 1]
-                prefix_c = _inclusive_cumsum_rows(contrib_c)
+                prefix_c = _inclusive_cumsum_rows(contrib_c, mxu=SCAN_MXU_BWD)
                 suffix_c = (c_total[ch3 : ch3 + 1] - color_pref[ch3 : ch3 + 1]) - prefix_c
                 g_alpha = g_alpha + g_color[ch3 : ch3 + 1] * (
                     rgb[:, ch3 : ch3 + 1] * t_in - suffix_c / one_minus
@@ -325,7 +331,7 @@ def _bwd_kernel(
             )
 
             pref[:] = color_pref + jnp.concatenate(chunk_totals, axis=0)
-            t_scr[:] = t_run * _row_product(1.0 - alpha * live_k)
+            t_scr[:] = t_run * _row_product(1.0 - alpha * live_k, mxu=SCAN_MXU_BWD)
             live_scr[:] = live * (1.0 - done_inc[-1:].astype(jnp.float32))
 
         @pl.when(jnp.logical_not(active))

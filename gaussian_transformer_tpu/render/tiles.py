@@ -379,26 +379,25 @@ def bin_stream(
     boundary = jnp.concatenate(
         [jnp.ones(1, bool), sorted_tiles[1:] != sorted_tiles[:-1]]
     )
-    # Rank within the run: distance to the run's first element (segment
-    # broadcast of the boundary position via cummax — positions ascend).
+    # Padded stream position in TWO scans (not the old four): every element
+    # advances the stream by one row, plus each run's LAST element appends
+    # the run's tail padding ((-run_len) % chunk rows) — so
+    #   pos[k] = k + exclusive_cumsum(tail_pad)[k]
+    # (tail_pad sits at run ends, i.e. strictly before the next run's
+    # elements, and the exclusive form keeps an element's own tail out).
     run_start = jax.lax.cummax(jnp.where(boundary, i_iota, -1))
-    rank = i_iota - run_start
-    # Run length at each element: next boundary position (reverse cummin of
-    # boundary positions, exclusive) minus the run start.
-    next_b = jax.lax.cummin(jnp.where(boundary, i_iota, I)[::-1])[::-1]
-    next_b = jnp.concatenate([next_b[1:], jnp.full(1, I, jnp.int32)])
-    run_len = next_b - run_start
-    padded_len = jnp.where(valid, ((run_len + chunk - 1) // chunk) * chunk, 0)
-    # Exclusive cumsum of padded lengths over RUNS, broadcast to elements.
-    incr = jnp.where(boundary, padded_len, 0)
-    pstart_excl = jnp.cumsum(incr) - incr
-    seg_pstart = jax.lax.cummax(jnp.where(boundary, pstart_excl, -1))
-    n_padded = jnp.sum(incr)
+    is_last = jnp.concatenate([boundary[1:], jnp.ones(1, bool)])
+    tail_pad = jnp.where(
+        is_last & valid, jnp.mod(run_start - (i_iota + 1), chunk), 0
+    )
+    padsum = jnp.cumsum(tail_pad)
+    n_padded = jnp.sum(valid.astype(jnp.int32)) + padsum[-1]
+    padsum_excl = padsum - tail_pad
 
     # Flat unique-index scatters build the stream; dropped/invalid instances
     # land at distinct out-of-bounds slots (mode="drop" discards them).
-    in_budget = valid & (seg_pstart + rank < I_pad)
-    pos = jnp.where(in_budget, seg_pstart + rank, I_pad + i_iota)
+    in_budget = valid & (i_iota + padsum_excl < I_pad)
+    pos = jnp.where(in_budget, i_iota + padsum_excl, I_pad + i_iota)
     stream_gauss = (
         jnp.full((I_pad,), C, jnp.int32)
         .at[pos]

@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Stage-prefix timing of the v3 bin_stream pipeline (tiles.bin_stream) on the
-real chip, matching the CURRENT code path (profile_binning.py profiles the
-retired v2 layout). Prefix timings; deltas attribute cost per stage.
+"""Stage-prefix timing of the v4 bin_stream pipeline (tiles.bin_stream) on the
+real chip, matching the CURRENT code path. Prefix timings; deltas attribute
+cost per stage.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_bin_v3.py [iters] [n_gaussians]
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_bin_v3.py [iters] [n_gaussians]
 """
 
 import math
@@ -26,7 +26,7 @@ def main():
     import bench
     from gaussian_transformer_tpu.render import RenderConfig, render, tune_config, _auto_chunk
     from gaussian_transformer_tpu.render.project import project_gaussians
-    from gaussian_transformer_tpu.render.tiles import compute_rects, num_tiles
+    from gaussian_transformer_tpu.render.tiles import _expand_orig, num_tiles
     from gaussian_transformer_tpu.scene.cameras import Camera
 
     WIDTH, HEIGHT = 1920, 1080
@@ -53,7 +53,6 @@ def main():
 
     tan_fovx, tan_fovy = math.tan(cam.fovx * 0.5), math.tan(cam.fovy * 0.5)
     C = scene.capacity
-
     xyz0 = scene.get_xyz
 
     def pipeline(s, upto):
@@ -71,103 +70,61 @@ def main():
         if upto == 0:  # projection only
             return acc + jnp.sum(means2d) * 1e-20 + jnp.sum(radii).astype(jnp.float32) * 1e-20
 
-        # --- _expand_unsorted ---
-        sort_key = jnp.where(include, depths, jnp.inf)
-        order = jnp.argsort(sort_key).astype(jnp.int32)
-        means2d_s = means2d[order]
-        radii_s = radii[order]
-        include_s = include[order]
-        if upto == 1:
-            return acc + jnp.sum(means2d_s) * 1e-20 + jnp.sum(radii_s).astype(jnp.float32) * 1e-20
-
-        min_x, min_y, max_x, max_y = compute_rects(means2d_s, radii_s, grid_w, grid_h)
-        w = max_x - min_x
-        cov_raw = jnp.where(include_s, w * (max_y - min_y), 0)
-        cov = jnp.minimum(cov_raw, R)
-        offsets = jnp.concatenate([jnp.zeros(1, cov.dtype), jnp.cumsum(cov)[:-1]])
-        total = offsets[-1] + cov[-1]
-        j = jnp.arange(I, dtype=jnp.int32)
-        seed = jnp.full((I,), -1, jnp.int32)
-        marks = seed.at[offsets].max(jnp.arange(C, dtype=jnp.int32), mode="drop")
-        gauss_i = jax.lax.cummax(marks)
-        inst_valid = (j < total) & (gauss_i >= 0)
-        gi_safe = jnp.clip(gauss_i, 0, C - 1)
-        gauss_i = jnp.where(inst_valid, gi_safe, C).astype(jnp.int32)
-        if upto == 2:  # owner map (scatter-max + cummax over [I])
-            return acc + jnp.sum(gauss_i).astype(jnp.float32) * 1e-20
-
-        w_safe = jnp.maximum(w, 1)
-        packed = jnp.stack([min_x, min_y, w_safe, offsets], axis=1)
-        vals = packed[gi_safe]
-        r_i = j - vals[:, 3]
-        tx = vals[:, 0] + r_i % vals[:, 2]
-        ty = vals[:, 1] + r_i // vals[:, 2]
-        tile_id = jnp.where(inst_valid, ty * grid_w + tx, T).astype(jnp.int32)
-        if upto == 3:  # packed row gather + tile ids
-            return acc + jnp.sum(tile_id).astype(jnp.float32) * 1e-20
-
-        # --- bin_stream body ---
-        i_iota = jnp.arange(I, dtype=jnp.int32)
-        sorted_tiles, sorted_gauss, sorted_u = jax.lax.sort(
-            (tile_id, gauss_i, i_iota), num_keys=1, is_stable=True
+        tile_id, gauss_i, depth_i, cap_overflow, total_raw, offsets, cov = _expand_orig(
+            means2d, depths, radii, include, grid_w, grid_h, R, I
         )
-        if upto == 4:  # stable 3-payload tile sort over [I]
-            return acc + jnp.sum(sorted_tiles).astype(jnp.float32) * 1e-20
+        if upto == 1:  # expansion: rects + owner scatter/cummax + flat gathers
+            return acc + (jnp.sum(tile_id) + jnp.sum(gauss_i)).astype(jnp.float32) * 1e-20 + jnp.sum(depth_i) * 1e-30
+
+        i_iota = jnp.arange(I, dtype=jnp.int32)
+        sorted_tiles, _sd, sorted_gauss, sorted_u = jax.lax.sort(
+            (tile_id, depth_i, gauss_i, i_iota), num_keys=2, is_stable=True
+        )
+        if upto == 2:  # two-key stable sort
+            return acc + (jnp.sum(sorted_tiles) + jnp.sum(sorted_u)).astype(jnp.float32) * 1e-20
 
         valid = sorted_tiles < T
         boundary = jnp.concatenate([jnp.ones(1, bool), sorted_tiles[1:] != sorted_tiles[:-1]])
         run_start = jax.lax.cummax(jnp.where(boundary, i_iota, -1))
-        rank = i_iota - run_start
-        next_b = jax.lax.cummin(jnp.where(boundary, i_iota, I)[::-1])[::-1]
-        next_b = jnp.concatenate([next_b[1:], jnp.full(1, I, jnp.int32)])
-        run_len = next_b - run_start
-        padded_len = jnp.where(valid, ((run_len + chunk - 1) // chunk) * chunk, 0)
-        incr = jnp.where(boundary, padded_len, 0)
-        pstart_excl = jnp.cumsum(incr) - incr
-        seg_pstart = jax.lax.cummax(jnp.where(boundary, pstart_excl, -1))
-        n_padded = jnp.sum(incr)
-        if upto == 5:  # boundary/rank/padded-start scans over [I]
-            return acc + (jnp.sum(seg_pstart) + jnp.sum(rank)).astype(jnp.float32) * 1e-20
+        is_last = jnp.concatenate([boundary[1:], jnp.ones(1, bool)])
+        tail_pad = jnp.where(is_last & valid, jnp.mod(run_start - (i_iota + 1), chunk), 0)
+        padsum = jnp.cumsum(tail_pad)
+        n_padded = jnp.sum(valid.astype(jnp.int32)) + padsum[-1]
+        padsum_excl = padsum - tail_pad
+        in_budget = valid & (i_iota + padsum_excl < I_pad)
+        pos = jnp.where(in_budget, i_iota + padsum_excl, I_pad + i_iota)
+        if upto == 3:  # layout scans (run_start cummax + tail-pad cumsum)
+            return acc + jnp.sum(pos).astype(jnp.float32) * 1e-20 + n_padded.astype(jnp.float32) * 1e-30
 
-        in_budget = valid & (seg_pstart + rank < I_pad)
-        pos = jnp.where(in_budget, seg_pstart + rank, I_pad + i_iota)
-        packed2 = jnp.stack([sorted_gauss, sorted_tiles], axis=1)
-        stream = (
-            jnp.concatenate(
-                [jnp.full((I_pad, 1), C, jnp.int32), jnp.full((I_pad, 1), T, jnp.int32)],
-                axis=1,
-            )
-            .at[pos]
-            .set(packed2, mode="drop", unique_indices=True)
+        stream_gauss = (
+            jnp.full((I_pad,), C, jnp.int32).at[pos].set(sorted_gauss, mode="drop", unique_indices=True)
         )
-        stream_gauss = stream[:, 0]
-        chunk_tile = stream[::chunk, 1]
-        if upto == 6:  # stream scatter [I]->[I_pad]
-            return acc + (jnp.sum(stream_gauss) + jnp.sum(chunk_tile)).astype(jnp.float32) * 1e-20
+        if upto == 4:  # stream_gauss flat scatter
+            return acc + jnp.sum(stream_gauss).astype(jnp.float32) * 1e-20
 
+        is_cs = in_budget & (pos % chunk == 0)
+        cpos = jnp.where(is_cs, pos // chunk, G + i_iota)
+        chunk_tile = jnp.full((G,), T, jnp.int32).at[cpos].set(sorted_tiles, mode="drop", unique_indices=True)
         pos_unsorted = (
-            jnp.zeros((I,), jnp.int32)
-            .at[sorted_u]
-            .set(jnp.where(in_budget, pos, I_pad).astype(jnp.int32), unique_indices=True)
+            jnp.zeros((I,), jnp.int32).at[sorted_u].set(
+                jnp.where(in_budget, pos, I_pad).astype(jnp.int32), unique_indices=True)
         )
-        if upto == 7:  # pullback permutation scatter [I]
-            return acc + jnp.sum(pos_unsorted).astype(jnp.float32) * 1e-20
+        if upto == 5:  # chunk_tile + pos_unsorted scatters
+            return acc + (jnp.sum(chunk_tile) + jnp.sum(pos_unsorted)).astype(jnp.float32) * 1e-20
 
         real_per_chunk = jnp.sum((stream_gauss < C).reshape(G, chunk), axis=1)
         counts = jnp.zeros((T + 1,), jnp.int32).at[chunk_tile].add(real_per_chunk, mode="drop")[:T]
         covered = jnp.zeros((T + 1,), bool).at[chunk_tile].set(True, mode="drop")[:T]
-        return acc + (jnp.sum(counts) + jnp.sum(covered) + jnp.sum(pos_unsorted)).astype(jnp.float32) * 1e-20 + n_padded.astype(jnp.float32) * 1e-30
+        return acc + (jnp.sum(counts) + jnp.sum(covered) + jnp.sum(pos_unsorted)).astype(jnp.float32) * 1e-20
 
     names = {
         0: "0 projection",
-        1: "1 depth argsort+gathers",
-        2: "2 owner scatter+cummax",
-        3: "3 tile-id row gather",
-        4: "4 stable tile sort",
-        5: "5 rank/pstart scans",
-        6: "6 stream scatter",
-        7: "7 pos_unsorted scatter",
-        99: "8 diagnostics (full)",
+        1: "1 expand (owner+gathers)",
+        2: "2 two-key sort",
+        3: "3 layout scans",
+        4: "4 stream_gauss scatter",
+        5: "5 aux scatters",
+        99: "6 diagnostics (full)",
     }
 
     def timeit(upto):
@@ -180,10 +137,11 @@ def main():
         print(f"upto {names[upto]:26s} {dt*1e3:8.2f} ms  (compile {tc:.0f}s)", flush=True)
         return dt
 
-    ts = [timeit(u) for u in (0, 1, 2, 3, 4, 5, 6, 7, 99)]
+    order = (0, 1, 2, 3, 4, 5, 99)
+    ts = [timeit(u) for u in order]
     print("\n--- deltas ---", flush=True)
     prev = 0.0
-    for u, t in zip((0, 1, 2, 3, 4, 5, 6, 7, 99), ts):
+    for u, t in zip(order, ts):
         print(f"{names[u]:28s} {(t - prev) * 1e3:8.2f} ms")
         prev = t
     print(f"{'TOTAL':28s} {ts[-1]*1e3:8.2f} ms")
