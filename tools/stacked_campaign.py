@@ -332,7 +332,13 @@ def main():
         from gaussian_transformer_tpu.train import orbax_ckpt
 
         assert orbax_ckpt.available(), "--orbax requires the orbax package"
-        mgr = orbax_ckpt.make_manager(args.out, max_to_keep=3)
+        # SYNC saves here: under the axon TPU tunnel the async save thread's
+        # 3.8 GB device->host pull deadlocked against the training loop's
+        # chip traffic mid-campaign (step 650, round 4 — tmp dir frozen 19
+        # min while the loop futex-waited). A synchronous save every
+        # ckpt_every steps costs ~1% wall; async stays the library default
+        # (orbax_ckpt.make_manager) for normal PJRT transports.
+        mgr = orbax_ckpt.make_manager(args.out, max_to_keep=3, async_save=False)
 
     global_step = 0
     epoch = 0
