@@ -207,8 +207,12 @@ def _expand_unsorted(means2d, depths, radii, include, grid_w, grid_h, R, I):
     packed = jnp.stack([min_x, min_y, w_safe, offsets], axis=1)  # [C, 4]
     vals = packed[gi_safe]  # [I, 4]
     r_i = j - vals[:, 3]
-    tx = vals[:, 0] + r_i % vals[:, 2]
-    ty = vals[:, 1] + r_i // vals[:, 2]
+    # f32 div instead of vector-int div/mod (no TPU hardware; see _expand_orig).
+    q = jnp.floor(
+        (r_i.astype(jnp.float32) + 0.5) / vals[:, 2].astype(jnp.float32)
+    ).astype(jnp.int32)
+    tx = vals[:, 0] + (r_i - q * vals[:, 2])
+    ty = vals[:, 1] + q
     tile_id = jnp.where(inst_valid, ty * grid_w + tx, T).astype(jnp.int32)
 
     cap_overflow = (
@@ -261,8 +265,15 @@ def _expand_orig(means2d, depths, radii, include, grid_w, grid_h, R, I):
     dep_g = depths[gi_safe]  # [I] flat gather
     r_i = j - off_g
     w_g = rp >> 20
-    tx = (rp & 1023) + r_i % w_g
-    ty = ((rp >> 10) & 1023) + r_i // w_g
+    # Integer div/mod by a VECTOR divisor has no TPU hardware — XLA expands
+    # it into a long scalarized sequence (measured as the dominant expansion
+    # cost). Both operands are < 2^20 and w <= 1024, so exact f32 division
+    # with a +0.5 dividend bias is safe: at r = k*w the bias keeps floor at
+    # k; at r = k*w - 1 it stays below k.
+    q = jnp.floor((r_i.astype(jnp.float32) + 0.5) / w_g.astype(jnp.float32)).astype(jnp.int32)
+    rem = r_i - q * w_g
+    tx = (rp & 1023) + rem
+    ty = ((rp >> 10) & 1023) + q
     tile_id = jnp.where(inst_valid, ty * grid_w + tx, T).astype(jnp.int32)
     gauss_i = jnp.where(inst_valid, gi_safe, C).astype(jnp.int32)
     depth_i = jnp.where(inst_valid, dep_g, jnp.inf)
@@ -415,12 +426,11 @@ def bin_stream(
     )
 
     # Gradient-pullback permutation: where each UNSORTED instance landed in
-    # the padded stream (I_pad = dropped). sorted_u is a permutation, so the
-    # scatter is collision-free.
-    pos_unsorted = (
-        jnp.zeros((I,), jnp.int32)
-        .at[sorted_u]
-        .set(jnp.where(in_budget, pos, I_pad).astype(jnp.int32), unique_indices=True)
+    # the padded stream (I_pad = dropped). Permutation inversion rides a
+    # SORT (key = sorted_u, payload = pos) — TPU sorts measure ~5x cheaper
+    # than the equivalent [I] unique-index scatter.
+    _, pos_unsorted = jax.lax.sort_key_val(
+        sorted_u, jnp.where(in_budget, pos, I_pad).astype(jnp.int32)
     )
 
     # Per-tile diagnostics from the chunk domain (G-sized scatters are cheap).
