@@ -249,7 +249,7 @@ def _bwd_kernel(
 
         @pl.when(is_first)
         def _():
-            pref[:] = jnp.zeros((3, P), jnp.float32)
+            pref[:] = jnp.zeros((1, P), jnp.float32)
             t_scr[:] = jnp.ones((1, P), jnp.float32)
             live_scr[:] = jnp.ones((1, P), jnp.float32)
 
@@ -291,18 +291,30 @@ def _bwd_kernel(
                 precision=jax.lax.Precision.HIGHEST,
             )
 
+            # g_alpha needs the per-channel suffix sums S_kc only contracted
+            # with g_color — and prefix-sum commutes with that linear
+            # contraction, so the three per-channel scans collapse into ONE
+            # scan of the scalar u_k = w_k * <rgb_k, gC>:
+            #   sum_c gC_c S_kc = <gC, C_total> - gdot_pref - P_u(k).
             one_minus = jnp.maximum(1.0 - alpha, 1e-6)
-            g_alpha = -g_t * t_final / one_minus
-            color_pref = pref[:]
-            chunk_totals = []
-            for ch3 in range(3):
-                contrib_c = w * rgb[:, ch3 : ch3 + 1]
-                prefix_c = _inclusive_cumsum_rows(contrib_c, mxu=SCAN_MXU_BWD)
-                suffix_c = (c_total[ch3 : ch3 + 1] - color_pref[ch3 : ch3 + 1]) - prefix_c
-                g_alpha = g_alpha + g_color[ch3 : ch3 + 1] * (
-                    rgb[:, ch3 : ch3 + 1] * t_in - suffix_c / one_minus
-                )
-                chunk_totals.append(prefix_c[-1:])
+            # 3-term contraction as broadcast FMAs ([chunk,1]x[1,P]) — an MXU
+            # dot here measured ~2.5 ms of fixed cost at the 17.6k bench
+            # point (1-2 chunks per tile amortize nothing).
+            rgb_dot_gc = (
+                rgb[:, 0:1] * g_color[0:1]
+                + rgb[:, 1:2] * g_color[1:2]
+                + rgb[:, 2:3] * g_color[2:3]
+            )  # [chunk, P]: sum_c rgb_kc * gC_c(pixel)
+            u = w * rgb_dot_gc
+            p_u = _inclusive_cumsum_rows(u, mxu=SCAN_MXU_BWD)
+            gdot_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)  # [1, P]
+            gdot_pref = pref[0:1]
+            suffix_dot = (gdot_total - gdot_pref) - p_u
+            g_alpha = (
+                -g_t * t_final / one_minus
+                + rgb_dot_gc * t_in
+                - suffix_dot / one_minus
+            )
             g_alpha = g_alpha * live_k * jnp.where(alpha > 0.0, 1.0, 0.0)
 
             capped = alpha_raw > 0.99
@@ -330,7 +342,7 @@ def _bwd_kernel(
                 axis=1,
             )
 
-            pref[:] = color_pref + jnp.concatenate(chunk_totals, axis=0)
+            pref[0:1] = gdot_pref + p_u[-1:]
             t_scr[:] = t_run * _row_product(1.0 - alpha * live_k, mxu=SCAN_MXU_BWD)
             live_scr[:] = live * (1.0 - done_inc[-1:].astype(jnp.float32))
 
@@ -547,7 +559,7 @@ def _stream_bwd_rule(grid_w, grid_h, precision, block_rows, residuals, cotangent
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 8, P), jnp.float32),  # double-buffered tile rows
-            pltpu.VMEM((3, P), jnp.float32),  # color prefix carry
+            pltpu.VMEM((1, P), jnp.float32),  # gC-contracted color-prefix carry
             pltpu.VMEM((1, P), jnp.float32),  # transmittance carry
             pltpu.VMEM((1, P), jnp.float32),  # live carry
             pltpu.SMEM((1,), jnp.int32),  # resident slot

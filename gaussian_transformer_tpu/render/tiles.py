@@ -258,23 +258,38 @@ def _expand_orig(means2d, depths, radii, include, grid_w, grid_h, R, I):
     gi_safe = jnp.clip(gauss_raw, 0, C - 1)
 
     # Instance r of gaussian i covers tile (min_x + r%w, min_y + r//w).
+    # The owner's rect/offset/depth arrive via ONE [C, 4] f32 ROW gather:
+    # measured on-chip, three separate flat int32 gathers cost ~21 ns per
+    # row where the packed row gather costs ~6 (the inverse of the scatter
+    # tradeoff, where flat beats rows 9x). All four fields are exactly
+    # representable in f32 (rect_xy < 2^20, w <= 1024, offsets < 2^24), and
+    # the tile arithmetic runs in exact f32 — vector integer div/mod has no
+    # TPU hardware, f32 division with a +0.5 dividend bias is exact here
+    # (at r = k*w the bias keeps floor at k; at r = k*w - 1 it stays below).
+    f32 = jnp.float32
     w_safe = jnp.maximum(w, 1)
-    rect_pack = min_x | (min_y << 10) | (w_safe << 20)  # [C] int32
-    rp = rect_pack[gi_safe]  # [I] flat gather
-    off_g = offsets[gi_safe].astype(jnp.int32)  # [I] flat gather
-    dep_g = depths[gi_safe]  # [I] flat gather
-    r_i = j - off_g
-    w_g = rp >> 20
-    # Integer div/mod by a VECTOR divisor has no TPU hardware — XLA expands
-    # it into a long scalarized sequence (measured as the dominant expansion
-    # cost). Both operands are < 2^20 and w <= 1024, so exact f32 division
-    # with a +0.5 dividend bias is safe: at r = k*w the bias keeps floor at
-    # k; at r = k*w - 1 it stays below k.
-    q = jnp.floor((r_i.astype(jnp.float32) + 0.5) / w_g.astype(jnp.float32)).astype(jnp.int32)
+    rect_xy = (min_x + min_y * 1024).astype(f32)
+    packed = jnp.stack(
+        [rect_xy, w_safe.astype(f32), offsets.astype(f32), depths.astype(f32)],
+        axis=1,
+    )  # [C, 4] f32
+    vals = packed[gi_safe]  # [I, 4] row gather
+    rxy, w_g, dep_g = vals[:, 0], vals[:, 1], vals[:, 3]
+    if I < (1 << 24):
+        r_i = j.astype(f32) - vals[:, 2]
+    else:
+        # offsets/iota exceed exact-f32 range only on untuned probes of
+        # multi-million-gaussian scenes; take the exact int path for the
+        # difference (small values resume exact f32 math below).
+        r_i = (j - offsets[gi_safe].astype(jnp.int32)).astype(f32)
+    q = jnp.floor((r_i + 0.5) / w_g)
     rem = r_i - q * w_g
-    tx = (rp & 1023) + rem
-    ty = ((rp >> 10) & 1023) + q
-    tile_id = jnp.where(inst_valid, ty * grid_w + tx, T).astype(jnp.int32)
+    min_y_g = jnp.floor((rxy + 0.5) * (1.0 / 1024.0))
+    tx = (rxy - 1024.0 * min_y_g) + rem
+    ty = min_y_g + q
+    tile_id = jnp.where(
+        inst_valid, (ty * grid_w + tx).astype(jnp.int32), T
+    ).astype(jnp.int32)
     gauss_i = jnp.where(inst_valid, gi_safe, C).astype(jnp.int32)
     depth_i = jnp.where(inst_valid, dep_g, jnp.inf)
 
