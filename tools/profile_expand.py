@@ -83,26 +83,29 @@ def main():
             return acc + jnp.sum(gauss_raw).astype(jnp.float32) * 1e-20
         inst_valid = (j < total) & (gauss_raw >= 0)
         gi_safe = jnp.clip(gauss_raw, 0, C - 1)
+        f32 = jnp.float32
         w_safe = jnp.maximum(w, 1)
-        rect_pack = min_x | (min_y << 10) | (w_safe << 20)
-        rp = rect_pack[gi_safe]
-        off_g = offsets[gi_safe].astype(jnp.int32)
-        dep_g = depths[gi_safe]
-        if upto == 3:  # + 3 flat gathers
-            return acc + (jnp.sum(rp) + jnp.sum(off_g)).astype(jnp.float32) * 1e-20 + jnp.sum(dep_g) * 1e-30
-        r_i = j - off_g
-        w_g = rp >> 20
-        q = jnp.floor((r_i.astype(jnp.float32) + 0.5) / w_g.astype(jnp.float32)).astype(jnp.int32)
+        rect_xy = (min_x + min_y * 1024).astype(f32)
+        packed = jnp.stack(
+            [rect_xy, w_safe.astype(f32), offsets.astype(f32), depths.astype(f32)], axis=1
+        )
+        vals = packed[gi_safe]  # [I, 4] row gather
+        rxy, w_g, off_g, dep_g = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
+        if upto == 3:  # + packed row gather
+            return acc + (jnp.sum(rxy) + jnp.sum(off_g)).astype(jnp.float32) * 1e-20 + jnp.sum(dep_g) * 1e-30
+        r_i = j.astype(f32) - off_g
+        q = jnp.floor((r_i + 0.5) / w_g)
         rem = r_i - q * w_g
-        tx = (rp & 1023) + rem
-        ty = ((rp >> 10) & 1023) + q
-        tile_id = jnp.where(inst_valid, ty * grid_w + tx, T).astype(jnp.int32)
+        min_y_g = jnp.floor((rxy + 0.5) * (1.0 / 1024.0))
+        tx = (rxy - 1024.0 * min_y_g) + rem
+        ty = min_y_g + q
+        tile_id = jnp.where(inst_valid, (ty * grid_w + tx).astype(jnp.int32), T).astype(jnp.int32)
         gauss_i = jnp.where(inst_valid, gi_safe, C).astype(jnp.int32)
         depth_i = jnp.where(inst_valid, dep_g, jnp.inf)
         return acc + (jnp.sum(tile_id) + jnp.sum(gauss_i)).astype(jnp.float32) * 1e-20 + jnp.sum(depth_i) * 1e-30
 
     names = {0: "0 [C] rects+cumsum", 1: "1 +scatter-max", 2: "2 +cummax",
-             3: "3 +flat gathers", 4: "4 +tile math (full)"}
+             3: "3 +packed row gather", 4: "4 +tile math (full)"}
 
     def timeit(upto):
         fn = lambda s: stage(s, upto)
