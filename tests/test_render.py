@@ -193,3 +193,38 @@ class TestGradients:
         gn = np.linalg.norm(np.asarray(g), axis=1)
         assert np.all(np.isfinite(gn))
         assert gn[vis].max() > 0.0
+
+
+class TestTuneConfig:
+    """Budget tuning policy (render.tune_config): scale-adaptive headroom and
+    the worst-case-padding cap on the stream budget."""
+
+    def test_headroom_is_scale_adaptive(self):
+        from gaussian_transformer_tpu.render import tune_config
+
+        small = tune_config(RenderConfig(), {"n_instances": 100_000,
+                                             "n_padded": 120_000, "n_tiles": 8160})
+        big = tune_config(RenderConfig(), {"n_instances": 2_000_000,
+                                           "n_padded": 2_400_000, "n_tiles": 8160})
+        # 1.5x margin below 512k measured instances, 1.25x above (both
+        # bucketed to the 32k grain).
+        assert small.max_instances >= int(100_000 * 1.5)
+        assert small.max_instances < int(100_000 * 1.5) + 32768
+        assert big.max_instances >= int(2_000_000 * 1.25)
+        assert big.max_instances < int(2_000_000 * 1.25) + 32768
+
+    def test_stream_budget_capped_by_worst_case_padding(self):
+        from gaussian_transformer_tpu.render import _auto_chunk, tune_config
+
+        # A probe rendered at huge auto budgets reports inflated padding;
+        # the tuned stream budget must not exceed instances + tiles * chunk.
+        cfg = tune_config(RenderConfig(), {"n_instances": 1_800_000,
+                                           "n_padded": 5_100_000, "n_tiles": 8160})
+        chunk = _auto_chunk(1_000_000, 8160, cfg)
+        bound = cfg.max_instances + 8160 * chunk + 32768
+        assert cfg.max_stream <= bound
+        # And the budgets stay honest: an explicit headroom override wins.
+        cfg2 = tune_config(RenderConfig(), {"n_instances": 100_000,
+                                            "n_padded": 120_000, "n_tiles": 8160},
+                           headroom=2.0)
+        assert cfg2.max_instances >= 200_000
