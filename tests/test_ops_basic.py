@@ -115,3 +115,56 @@ class TestChamfer:
         f1 = float(loss(a + da, b))
         f0 = float(loss(a - da, b))
         np.testing.assert_allclose((f1 - f0) / (2 * eps), float(g[0, 5, 1]), rtol=1e-2, atol=1e-3)
+
+
+class TestFusedSSIM:
+    """Fused Pallas SSIM (ops/fused_ssim.py) == the XLA ssim, value and grad.
+
+    The TPU dispatch in losses.ssim routes the default 11x11/size-average
+    case through this op; these tests pin both the analytic backward (jnp
+    path) and the Pallas kernels (interpret mode) against jax.grad of the
+    reference implementation."""
+
+    def _pair(self, shape, seed=0):
+        rng = np.random.RandomState(seed)
+        return (
+            jnp.asarray(rng.rand(*shape).astype(np.float32)),
+            jnp.asarray(rng.rand(*shape).astype(np.float32)),
+        )
+
+    def test_jnp_backend_matches_reference(self):
+        from gaussian_transformer_tpu.ops.fused_ssim import fused_ssim
+
+        for shape in [(3, 37, 53), (3, 70, 129), (2, 3, 64, 200)]:
+            a, b = self._pair(shape)
+            ref = ssim(a, b)
+            assert abs(float(fused_ssim(a, b, "jnp") - ref)) < 1e-6
+            ga, gb = jax.grad(lambda x, y: ssim(x, y), argnums=(0, 1))(a, b)
+            fa, fb = jax.grad(
+                lambda x, y: fused_ssim(x, y, "jnp"), argnums=(0, 1)
+            )(a, b)
+            assert float(jnp.abs(fa - ga).max()) < 1e-8
+            assert float(jnp.abs(fb - gb).max()) < 1e-8
+
+    def test_pallas_interpret_matches_reference(self):
+        from gaussian_transformer_tpu.ops.fused_ssim import fused_ssim
+
+        a, b = self._pair((3, 70, 140), seed=1)
+        ref = ssim(a, b)
+        assert abs(float(fused_ssim(a, b, "pallas_interpret") - ref)) < 1e-6
+        ga = jax.grad(lambda x: ssim(x, b))(a)
+        fa = jax.grad(lambda x: fused_ssim(x, b, "pallas_interpret"))(a)
+        assert float(jnp.abs(fa - ga).max()) < 1e-8
+        # gt-side cotangent too (both come out of the same bwd kernel)
+        gb = jax.grad(lambda y: ssim(a, y))(b)
+        fb = jax.grad(lambda y: fused_ssim(a, y, "pallas_interpret"))(b)
+        assert float(jnp.abs(fb - gb).max()) < 1e-8
+
+    def test_band_boundaries_and_tiny_images(self):
+        """H crossing the BH=64 band size exactly / by one, and tiny H/W."""
+        from gaussian_transformer_tpu.ops.fused_ssim import fused_ssim
+
+        for shape in [(1, 64, 128), (1, 65, 128), (1, 128, 131), (1, 9, 7)]:
+            a, b = self._pair(shape, seed=2)
+            ref = ssim(a, b)
+            assert abs(float(fused_ssim(a, b, "pallas_interpret") - ref)) < 1e-6, shape
