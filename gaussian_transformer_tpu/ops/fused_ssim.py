@@ -196,8 +196,8 @@ def _pallas_fwd(img, gt, interpret: bool):
         functools.partial(_fwd_kernel, taps=taps, H=H, W=W, Wc=Wc, Wp=Wp),
         grid=(N, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((N, nb), jnp.float32),
@@ -235,8 +235,8 @@ def _pallas_bwd(img, gt, g, interpret: bool):
         num_scalar_prefetch=1,
         grid=(N, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, BH, W), lambda c, b, g_: (c, b, 0)),

@@ -35,6 +35,30 @@ def _gaussian_window(window_size: int, sigma: float):
     return np.outer(xs, xs)
 
 
+def _under_batch_trace(*xs) -> bool:
+    """True when any arg is (or wraps) a vmap BatchTracer. The fused Pallas
+    SSIM kernel has no batching rule — vmap of its pallas_call fails at Mosaic
+    lowering — so the dispatch must route batched traces to the XLA path
+    (parallel/step.py vmaps the per-camera loss on the mesh=None batched
+    train step)."""
+    from jax._src.interpreters import batching
+
+    for x in xs:
+        t = x
+        for _ in range(32):  # descend through tracer wrappers (JVP etc.)
+            if not isinstance(t, jax.core.Tracer):
+                break
+            if isinstance(t, batching.BatchTracer):
+                return True
+            nxt = getattr(t, "val", None)
+            if nxt is None:
+                nxt = getattr(t, "primal", None)
+            if nxt is None:
+                break
+            t = nxt
+    return False
+
+
 def _filter2d_same(img, window):
     """Depthwise 'same' conv of BCHW images with a KxK separable window via
     explicit shift-and-accumulate (two 1-D passes of K fused multiply-adds).
@@ -71,8 +95,11 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
         window_size == 11
         and size_average
         and img1.dtype == jnp.float32
+        and img2.dtype == jnp.float32
+        and img1.shape == img2.shape
         and jax.default_backend() == "tpu"
         and os.environ.get("GT_FUSED_SSIM", "1") != "0"
+        and not _under_batch_trace(img1, img2)
     ):
         from gaussian_transformer_tpu.ops.fused_ssim import fused_ssim
 

@@ -133,10 +133,11 @@ class RenderConfig:
     # scheduling; 2*block_rows*16*4 B of VMEM per pipeline buffer). Tunable
     # for on-chip sweeps (tools/ab_bench.py).
     block_rows: int = struct.field(pytree_node=False, default=2048)
-    # Stream-kernel memory layout: "rows" ([I_pad, 16], current default) or
-    # "transposed" ([16, I_pad] — lane-native, avoids the 8x HBM staging copy
-    # measured by tools/layout_probe.py; pending on-chip timing before it
-    # becomes the default). fp32 only.
+    # Stream-kernel memory layout. Only "rows" ([I_pad, 16]) remains: the
+    # lane-native "transposed" ([16, I_pad]) kernel measured a 2.8x LOSS
+    # on-chip (its lane-axis Hillis-Steele scans outweigh the avoided HBM
+    # staging copy — BENCH_SCALE.md round-3 A/B) and is preserved for the
+    # record at attic/stream_t.py.
     layout: str = struct.field(pytree_node=False, default="rows")
 
 
@@ -232,13 +233,9 @@ def render(
         # ordering rides the two-key instance sort), so no order gathers here
         # — and no scatter-add VJPs for them in the backward.
         if cfg.layout == "transposed":
-            from gaussian_transformer_tpu.render.stream_t import stream_image_t
-
-            assert cfg.precision == "fp32", "transposed layout is fp32-only"
-            img_pad, t_pad = stream_image_t(
-                binned, means2d, proj.conics, proj.rgbs,
-                proj.opacities, bg, grid_w=grid_w, grid_h=grid_h,
-                block_rows=cfg.block_rows,
+            raise NotImplementedError(
+                "the transposed stream kernel was a measured 2.8x loss and "
+                "was retired to attic/stream_t.py (BENCH_SCALE.md round-3 A/B)"
             )
         else:
             img_pad, t_pad = stream_image(

@@ -4,6 +4,9 @@ before jax initializes a backend."""
 
 import os
 
+# Preserve the launch-time platform for subprocess chip tests (test_chip.py)
+# before forcing this process onto the CPU mesh.
+os.environ.setdefault("GT_ORIG_JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

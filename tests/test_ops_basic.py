@@ -97,6 +97,29 @@ class TestChamfer:
         np.testing.assert_allclose(np.asarray(d1), 0.0, atol=1e-5)
         np.testing.assert_allclose(np.asarray(d2), 0.0, atol=1e-5)
 
+    def test_larger_batches_unrolled(self):
+        """B=8/16 on the Python-unrolled batch path (VERDICT r4 #9): values
+        match the per-element bruteforce and grads stay finite. The unroll
+        exists to dodge a pinned TPU scatter-fusion crash (see
+        tests/test_chip.py::test_chamfer_vmap_scatter_repro)."""
+        for B in (8, 16):
+            rng = np.random.RandomState(B)
+            a = jnp.asarray(rng.randn(B, 24, 5).astype(np.float32))
+            b = jnp.asarray(rng.randn(B, 36, 5).astype(np.float32))
+            d1, d2, i1, i2 = chamfer_distance(a, b)
+            assert d1.shape == (B, 24) and d2.shape == (B, 36)
+            an, bn = np.asarray(a), np.asarray(b)
+            for i in range(0, B, max(1, B // 4)):
+                full = ((an[i][:, None, :] - bn[i][None, :, :]) ** 2).sum(-1)
+                np.testing.assert_allclose(np.asarray(d1[i]), full.min(1), rtol=1e-4, atol=1e-5)
+                np.testing.assert_allclose(np.asarray(d2[i]), full.min(0), rtol=1e-4, atol=1e-5)
+
+            g = jax.grad(
+                lambda x, y: jnp.mean(chamfer_distance(x, y)[0])
+                + jnp.mean(chamfer_distance(x, y)[1])
+            )(a, b)
+            assert np.isfinite(np.asarray(g)).all()
+
     def test_grad_matches_matched_pairs(self):
         rng = np.random.RandomState(2)
         a = jnp.asarray(rng.randn(1, 32, 3).astype(np.float32))
@@ -168,3 +191,68 @@ class TestFusedSSIM:
             a, b = self._pair(shape, seed=2)
             ref = ssim(a, b)
             assert abs(float(fused_ssim(a, b, "pallas_interpret") - ref)) < 1e-6, shape
+
+    def test_batch_trace_detection(self):
+        """losses._under_batch_trace: True under vmap (incl. grad-of-vmap),
+        False under plain jit/grad — the TPU dispatch must not route a
+        vmapped trace into the fused kernel (no batching rule)."""
+        from gaussian_transformer_tpu.ops.losses import _under_batch_trace
+
+        seen = {}
+
+        def probe(tag):
+            def f(x):
+                seen[tag] = _under_batch_trace(x)
+                return jnp.sum(x * x)
+            return f
+
+        x = jnp.ones((4, 8))
+        probe("plain")(x)
+        jax.jit(probe("jit"))(x)
+        jax.grad(lambda x: probe("grad")(x))(x)
+        jax.vmap(probe("vmap"))(x)
+        jax.grad(lambda x: jnp.sum(jax.vmap(probe("grad_vmap"))(x)))(x)
+        jax.jit(lambda x: jax.vmap(probe("jit_vmap"))(x))(x)
+        assert not seen["plain"] and not seen["jit"] and not seen["grad"]
+        assert seen["vmap"] and seen["grad_vmap"] and seen["jit_vmap"]
+
+    def test_vmap_dispatch_routes_to_xla(self, monkeypatch):
+        """With the backend reported as TPU, a vmapped ssim must NOT engage
+        the fused kernel (ADVICE r4: vmap of the pallas_call fails at Mosaic
+        lowering) and must still produce the correct per-element values."""
+        import gaussian_transformer_tpu.ops.losses as losses
+
+        rng = np.random.RandomState(7)
+        a = jnp.asarray(rng.rand(3, 3, 33, 47).astype(np.float32))
+        b = jnp.asarray(rng.rand(3, 3, 33, 47).astype(np.float32))
+        ref = jnp.stack([ssim(a[i], b[i]) for i in range(3)])
+
+        import gaussian_transformer_tpu.ops.fused_ssim as fs
+
+        def boom(*args, **kwargs):
+            raise AssertionError("fused_ssim engaged under vmap")
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(fs, "fused_ssim", boom)
+        out = jax.vmap(losses.ssim)(a, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+        # grad-of-vmap (the actual parallel/step.py shape) also stays off it
+        g = jax.grad(lambda x: jnp.sum(jax.vmap(losses.ssim)(x, b)))(a)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_mixed_dtype_skips_fused_dispatch(self, monkeypatch):
+        """f32 prediction vs non-f32 gt must use the dtype-promoting XLA
+        path, not the f32-scratch kernel (ADVICE r4 low)."""
+        import gaussian_transformer_tpu.ops.losses as losses
+        import gaussian_transformer_tpu.ops.fused_ssim as fs
+
+        def boom(*args, **kwargs):
+            raise AssertionError("fused_ssim engaged on mixed dtypes")
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(fs, "fused_ssim", boom)
+        rng = np.random.RandomState(8)
+        a = jnp.asarray(rng.rand(3, 32, 40).astype(np.float32))
+        b = a.astype(jnp.bfloat16)
+        out = losses.ssim(a, b)
+        assert float(out) > 0.9  # near-identical images

@@ -407,56 +407,3 @@ class TestPullbackLayout:
         # Total in-stream instances match the real (non-pad) stream rows.
         assert in_stream.sum() == (sg < C).sum()
 
-
-class TestTransposedLayout:
-    """Lane-native transposed stream kernel (render/stream_t.py) must match
-    the row-major kernel bit-for-bit-ish on image and gradients."""
-
-    ROWS = RenderConfig()
-    TR = RenderConfig(layout="transposed")
-
-    def test_image_matches_rows(self):
-        scene = make_scene(300, seed=5, spread=1.3)
-        cam = make_camera(width=96, height=64)
-        bg = jnp.array([0.1, 0.2, 0.3])
-        a = render(cam, scene, self.ROWS, bg_color=bg)
-        b = render(cam, scene, self.TR, bg_color=bg)
-        np.testing.assert_allclose(
-            np.asarray(b["render"]), np.asarray(a["render"]), atol=2e-5
-        )
-        np.testing.assert_allclose(
-            np.asarray(b["final_T"]), np.asarray(a["final_T"]), atol=2e-5
-        )
-
-    def test_grads_match_rows(self):
-        scene = make_scene(200, seed=6, spread=1.2)
-        cam = make_camera(width=64, height=48)
-        bg = jnp.zeros(3)
-
-        def loss(cfg, xyz, op, off):
-            s = scene.replace(xyz=xyz, opacity=op)
-            out = render(cam, s, cfg, bg_color=bg, screenspace_offset=off)
-            return jnp.sum(out["render"] ** 2) + 0.1 * jnp.sum(out["final_T"])
-
-        args = (scene.xyz, scene.opacity, jnp.zeros((scene.capacity, 2)))
-        ga = jax.grad(lambda *a: loss(self.ROWS, *a), argnums=(0, 1, 2))(*args)
-        gb = jax.grad(lambda *a: loss(self.TR, *a), argnums=(0, 1, 2))(*args)
-        for name, a, b in zip(["xyz", "opacity", "offset"], ga, gb):
-            a, b = np.asarray(a), np.asarray(b)
-            assert np.all(np.isfinite(b)), name
-            scale = np.abs(a).max() + 1e-8
-            np.testing.assert_allclose(b, a, atol=2e-4 * scale, err_msg=name)
-
-    def test_saturation_matches_rows(self):
-        from gaussian_transformer_tpu.utils.general import inverse_sigmoid
-
-        scene = make_scene(128, seed=7, spread=0.4)
-        scene = scene.replace(
-            opacity=jnp.full_like(scene.opacity, inverse_sigmoid(jnp.asarray(0.95)))
-        )
-        cam = make_camera(width=64, height=48)
-        a = render(cam, scene, self.ROWS, bg_color=jnp.zeros(3))
-        b = render(cam, scene, self.TR, bg_color=jnp.zeros(3))
-        np.testing.assert_allclose(
-            np.asarray(b["render"]), np.asarray(a["render"]), atol=2e-4
-        )

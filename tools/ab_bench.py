@@ -58,7 +58,7 @@ def main():
         "stream_ch64": RenderConfig(chunk=64),
         "stream_ch64_br4096": RenderConfig(chunk=64, block_rows=4096),
         "stream_bf16": RenderConfig(precision="bf16"),
-        "stream_transposed": RenderConfig(layout="transposed"),
+        # "stream_transposed" retired to attic/stream_t.py (2.8x measured loss)
     }
 
     for name in variants:

@@ -45,7 +45,7 @@ def build_scene(pcd, n_target, rng):
 
 VARIANTS = {
     "default": {},
-    "transposed": {"layout": "transposed"},  # fp32-only (render/__init__.py)
+    # "transposed" retired to attic/stream_t.py (2.8x measured loss, BENCH_SCALE.md)
     "bf16": {"precision": "bf16"},
 }
 
