@@ -140,12 +140,28 @@ def bench_step(scene, cam, extent, precision="fp32", use_stream=True):
     np.asarray(out[0].xyz[:1])
     dt = time.time() - t0
 
+    from gaussian_transformer_tpu.render import _auto_chunk
+    from gaussian_transformer_tpu.render.tiles import num_tiles
+    from gaussian_transformer_tpu.utils import roofline
+
+    n_tiles = num_tiles(WIDTH) * num_tiles(HEIGHT)
+    ms = dt / ITERS * 1e3
+    roof_counts = {
+        "n_gaussians": int(np.asarray(scene.num_alive)),
+        "n_instances": counts.get("n_instances", 0),
+        "i_pad": cfg.max_stream,
+        "chunk": _auto_chunk(scene.capacity, n_tiles, cfg),
+        "n_tiles": n_tiles,
+        "height": HEIGHT, "width": WIDTH,
+    }
+    roof = roofline.step_report(roof_counts, measured_ms={"total": ms})
     return {
         "n_gaussians": int(np.asarray(scene.num_alive)),
         "n_instances": counts.get("n_instances", 0),
         "overflow": int(np.asarray(probe["overflow"])),
-        "ms_per_step": dt / ITERS * 1e3,
+        "ms_per_step": ms,
         "pixels_per_s": WIDTH * HEIGHT * ITERS / dt,
+        "roofline": roof,
     }
 
 
@@ -235,6 +251,7 @@ def main():
         "value": round(pixels_per_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
+        "roofline_frac": res["roofline"]["_total"].get("roofline_frac"),
     }
     if fallback:
         record["stream_kernel_fallback"] = True
@@ -269,6 +286,8 @@ def main():
                 "ms_per_step": round(r["ms_per_step"], 1),
                 "mpix_per_s": round(r["pixels_per_s"] / 1e6, 2),
                 "vs_baseline": round(r["pixels_per_s"] / BASELINE_PIXELS_PER_S, 4),
+                "roofline_frac": r["roofline"]["_total"].get("roofline_frac"),
+                "roofline": r["roofline"],
             }
             for r in rows
         ]

@@ -77,11 +77,10 @@ def tune_config(cfg, probe, headroom: float = 0.0, floor: int = 8192):
         stream = bucket(n_padded, hr)
         if n_tiles:
             for _ in range(8):
-                chunk = cfg.chunk
-                if not chunk:
-                    chunk = 32
-                    while chunk < 1024 and (stream + chunk - 1) // chunk > _MAX_CHUNKS:
-                        chunk *= 2
+                # Same policy _auto_chunk applies at render time (fixed
+                # point: the stream bound and the chunk size co-determine
+                # each other, hence the iteration).
+                chunk = _auto_chunk(0, n_tiles, cfg.replace(max_stream=stream))
                 bound = cfg.max_instances + n_tiles * chunk
                 bound = ((bound + grain - 1) // grain) * grain
                 if bound >= stream:
@@ -143,19 +142,34 @@ class RenderConfig:
 
 _MAX_CHUNKS = 65536  # chunk->tile map is scalar-prefetched: [G] int32 in SMEM
                      # (~1MB total); 64k entries = 256KB leaves ample headroom.
+# Soft chunk-count target: the compositor kernels carry the transmittance
+# recurrence chunk-by-chunk, so per-chunk fixed cost (scalar loads, branches,
+# carry round-trips) scales with the chunk COUNT. The on-chip 1M sweep
+# (tools/ab_bench.py, 2026-08-20) measured chunk=128 (~24k chunks) 10.6 ms
+# faster per step than the SMEM-only policy's chunk=64 (~42k), while
+# chunk=256 LOSES (tile-run tail padding grows ~T*chunk/2 rows and the
+# bigger DMA blocks stop amortizing). Cap the escalation at 128 — larger
+# chunks were only measured slower.
+_TARGET_CHUNKS = 24576
+_TARGET_CHUNK_CAP = 128
 
 
 def _auto_chunk(n_capacity: int, n_tiles: int, cfg: "RenderConfig") -> int:
     """Smallest chunk size (>=32, power-of-two steps) whose chunk count fits
-    the SMEM budget for this scene's instance-stream length."""
+    the SMEM budget, then escalated (up to _TARGET_CHUNK_CAP) while the
+    estimated chunk count still exceeds _TARGET_CHUNKS."""
     if cfg.chunk:
         return cfg.chunk
     I = cfg.max_instances if cfg.max_instances > 0 else max(8192, 16 * n_capacity)
-    chunk = 32
-    while chunk < 1024:
+
+    def n_chunks(chunk):
         i_pad = cfg.max_stream if cfg.max_stream > 0 else I + (n_tiles // 2 + 256) * chunk
-        if (i_pad + chunk - 1) // chunk <= _MAX_CHUNKS:
-            break
+        return (i_pad + chunk - 1) // chunk
+
+    chunk = 32
+    while chunk < 1024 and n_chunks(chunk) > _MAX_CHUNKS:
+        chunk *= 2
+    while chunk < _TARGET_CHUNK_CAP and n_chunks(chunk) > _TARGET_CHUNKS:
         chunk *= 2
     return chunk
 

@@ -38,6 +38,7 @@ Property row layout matches pallas_composite (PROPS_F = 16):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -54,9 +55,6 @@ from gaussian_transformer_tpu.render.pallas_composite import (
     SCAN_MXU_FWD,
     _exclusive_cumprod_rows,
     _inclusive_cumsum_rows,
-    _inclusive_or_rows,
-    _pixel_coords,
-    _row_product,
     _use_interpret,
     pack_props,
 )
@@ -73,12 +71,82 @@ BLOCK_ROWS = 2048
 
 
 def _local_pixel_coords():
-    """Tile-LOCAL pixel centers [1, P] (0..TILE-1 each axis) — the bf16 path
-    stores tile-local splat means so 8 mantissa bits cover the coordinate
-    range; the fp32 path keeps the global frame (bit-stable with the XLA
-    golden)."""
+    """Tile-LOCAL pixel centers [1, P] (0..TILE-1 each axis). All v5 kernels
+    run in the tile-local frame: x - tile_origin is EXACT in f32 (origins are
+    multiples of TILE, both operands < 2^11), so dx/dy are bit-identical to
+    the global-frame math while the quadratic basis stays tile-invariant."""
     p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     return (p % TILE).astype(jnp.float32), (p // TILE).astype(jnp.float32)
+
+
+def _basis_rows():
+    """Constant tile-local quadratic basis [8, P]: rows
+    [1, px, py, px^2, py^2, px*py, 0, 0] for the GT_POWER=mxu variant
+    (coef[chunk, 8] @ basis[8, P] in one dot; measured loser on v5e)."""
+    px, py = _local_pixel_coords()
+    one = jnp.ones((1, P), jnp.float32)
+    zero = jnp.zeros((1, P), jnp.float32)
+    return jnp.concatenate([one, px, py, px * px, py * py, px * py, zero, zero], axis=0)
+
+
+def _power_basis():
+    """Mode-tagged basis for the splat-exponent evaluation (A/B knob
+    ``GT_POWER``, read at trace time). On-chip 1M-forward measurements
+    (2026-08-20, kernel-only ms on top of binning):
+
+    * ``dxdy`` (default, ~40 ms): classic dx/dy elementwise form — wins.
+    * ``fma`` (~61 ms): 5 broadcast-FMA quadratic — every term is an OUTER
+      product [chunk,1]x[1,P]; Mosaic pays a broadcast materialization per
+      term, costing more than the dx/dy form's 2 outer ops + elementwise.
+    * ``mxu`` (~49 ms): ONE [chunk,8]x[8,P] dot — K=8 wastes the 128-deep
+      systolic array and HIGHEST precision multiplies the pass count.
+    """
+    mode = os.environ.get("GT_POWER", "dxdy")
+    if mode == "mxu":
+        return ("mxu", _basis_rows())
+    px, py = _local_pixel_coords()
+    if mode == "fma":
+        return ("fma", (px, py, px * px, py * py, px * py))
+    return ("dxdy", (px, py))
+
+
+def _early_mode():
+    """GT_EARLY: how the kernels gate per-chunk work (numerics-IDENTICAL
+    choices — dead pixels contribute zero through the live/termination masks
+    either way; the gate is purely a skip optimization):
+
+    * ``scalar`` (default): gate only on the scalar trash-tile test
+      (t < n_tiles); saturated tiles still compute (their contributions are
+      zero). On-chip 1M A/B (tools/ab_early.py, 2026-08-20): fwd −5.7 ms,
+      fwd+bwd −9.5 ms vs ``max`` — the work "skipped" by the max-gate costs
+      less than its cross-lane reduce feeding a BRANCH (a vector→scalar
+      readback on the critical path of every chunk).
+    * ``max`` : skip when every pixel is saturated — `jnp.max(t_run*live)`.
+    * ``none`` : no gate at all.
+    """
+    return os.environ.get("GT_EARLY", "scalar")
+
+
+def _ablate():
+    """GT_ABLATE: comma list of kernel blocks to stub out FOR TIMING ONLY
+    (numerics become wrong; never set outside profiling runs). Tokens:
+    noscan1 (transmittance cumprod), noscan2 (backward u cumsum), noterm
+    (termination masks), noexp (alpha exponential), nomom (backward moment
+    reductions), noasm (backward gradient assembly algebra). Used by
+    tools/ablate_kernel.py to attribute in-kernel cost block by block."""
+    return set(filter(None, os.environ.get("GT_ABLATE", "").split(",")))
+
+
+def _basis_cols():
+    """The same basis laid out [P, 8] for the backward's moment contraction
+    moments[chunk, 8] = g_power[chunk, P] @ basis_cols (constructed directly
+    — no in-kernel transpose)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (p % TILE).astype(jnp.float32)
+    py = (p // TILE).astype(jnp.float32)
+    one = jnp.ones((P, 1), jnp.float32)
+    zero = jnp.zeros((P, 1), jnp.float32)
+    return jnp.concatenate([one, px, py, px * px, py * py, px * py, zero, zero], axis=1)
 
 
 def _localize_props(props, chunk_tile, grid_w, chunk):
@@ -90,26 +158,102 @@ def _localize_props(props, chunk_tile, grid_w, chunk):
     return props.at[:, 0].add(-ox).at[:, 1].add(-oy)
 
 
-def _alpha_math(blk, px, py):
-    """Shared fwd/bwd alpha evaluation for one [chunk, 16] property block.
-    Accepts fp32 or bf16 blocks; all math runs fp32 (bf16 saves the DMA)."""
+def _alpha_fused(blk, ox, oy, basis):
+    """Fwd/bwd alpha evaluation for one [chunk, 16] property block, in the
+    representation picked by ``_power_basis`` (measured winner: dxdy).
+
+    The EWA exponent -0.5(a dx^2 + c dy^2) - b dx dy also expands to a
+    quadratic in the tile-local pixel coordinates
+
+      power = c0 + cx*px + cy*py - 0.5a*px^2 - 0.5c*py^2 - b*px*py
+      c0 = -0.5(a x^2 + c y^2) - b x y,  cx = a x + b y,  cy = c y + b x
+
+    which the ``fma``/``mxu`` modes evaluate (kept for re-testing on future
+    hardware; both measured LOSSES on v5e — see _power_basis). Accepts fp32
+    (global frame; ``ox/oy`` = tile origin) or bf16 blocks (already
+    tile-local; pass ox = oy = 0). Returns tile-LOCAL x/y."""
     blk = blk.astype(jnp.float32)
-    x = blk[:, 0:1]
-    y = blk[:, 1:2]
+    x = blk[:, 0:1] - ox
+    y = blk[:, 1:2] - oy
     a = blk[:, 2:3]
     b = blk[:, 3:4]
     c = blk[:, 4:5]
     opac = blk[:, 8:9]
     rgb = blk[:, 5:8]
 
-    dx = x - px  # [chunk, P]
-    dy = y - py
-    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha_raw = opac * jnp.exp(jnp.minimum(power, 0.0))
+    c0 = -0.5 * (a * x * x + c * y * y) - b * x * y
+    cx = a * x + b * y
+    cy = c * y + b * x
+    mode, data = basis
+    if mode == "mxu":
+        z = jnp.zeros_like(x)
+        coef = jnp.concatenate([c0, cx, cy, -0.5 * a, -0.5 * c, -b, z, z], axis=1)
+        power = jax.lax.dot_general(
+            coef, data, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )  # [chunk, P]
+    elif mode == "fma":
+        px, py, pxx, pyy, pxy = data
+        power = (
+            c0 + cx * px + cy * py
+            + (-0.5 * a) * pxx + (-0.5 * c) * pyy + (-b) * pxy
+        )  # [chunk, P] — 5 broadcast FMAs (measured 2.2x LOSS at 1M:
+        # every term is an OUTER product [chunk,1]x[1,P]; Mosaic pays a
+        # broadcast materialization per term)
+    else:
+        px, py = data
+        dx = x - px  # [chunk, P]
+        dy = y - py
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    if "noexp" in _ablate():  # timing ablation: linearized alpha
+        alpha_raw = opac * (1.0 + jnp.maximum(jnp.minimum(power, 0.0), -1.0))
+    else:
+        alpha_raw = opac * jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(0.99, alpha_raw)
     skip = (power > 0.0) | (alpha < (1.0 / 255.0))
     alpha = jnp.where(skip, 0.0, alpha)
-    return alpha, alpha_raw, rgb, dx, dy, a, b, c, opac
+    return alpha, alpha_raw, rgb, x, y, a, b, c, opac
+
+
+def _tile_origin(t, grid_w, local_coords):
+    """Tile origin as f32 scalars (0 when the block is already tile-local)."""
+    if local_coords:
+        return jnp.float32(0.0), jnp.float32(0.0)
+    ox = ((t % grid_w) * TILE).astype(jnp.float32)
+    oy = ((t // grid_w) * TILE).astype(jnp.float32)
+    return ox, oy
+
+
+def _termination(alpha, t_in, lv):
+    """Early-termination masks WITHOUT scans (v5).
+
+    The upstream semantics: a pixel stops BEFORE the contribution that would
+    drop its transmittance below 1e-4. t_in is monotone non-increasing and
+    strictly decreasing across alpha>0 rows, so "first trigger and after"
+    is equivalent to t_in <= t_in[first trigger] for every row that can
+    contribute (alpha>0 rows between equal-t_in plateaus have alpha == 0 and
+    contribute nothing either way). The or-SCAN collapses to one max-REDUCE:
+
+      tstar  = max_k (t_in_k where trigger_k)      (0 when no trigger)
+      done_k = t_in_k <= tstar
+    Returns (live_k [chunk, P], tstar [1, P])."""
+    trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
+    tstar = jnp.max(jnp.where(trigger, t_in, 0.0), axis=0, keepdims=True)
+    live_k = jnp.where(t_in <= tstar, 0.0, lv)
+    return live_k, tstar
+
+
+def _carry_updates(alpha, t_in, t_run, lv, tstar):
+    """Post-chunk transmittance / live carries (v5, scan-free).
+
+    t_new per pixel: unchanged when already dead; t at the first trigger when
+    one fired (the triggering contribution is NOT applied); otherwise the
+    full-chunk product t_in[-1] * (1 - alpha[-1])."""
+    t_full = t_in[-1:] * (1.0 - alpha[-1:])
+    t_new = jnp.where(tstar > 0.0, tstar, t_full)
+    t_new = jnp.where(lv > 0.0, t_new, t_run)
+    live_new = lv * (tstar <= 0.0).astype(jnp.float32)
+    return t_new, live_new
 
 
 def _fwd_kernel(
@@ -128,6 +272,8 @@ def _fwd_kernel(
         rotation lets the DMA overlap the next tile's compute. The wait
         descriptor's destination index is irrelevant — semaphore waits match
         on transfer size only."""
+        if "noflush" in _ablate():  # timing ablation: output never written
+            return
         c = cnt[0]
         slot = jax.lax.rem(c, 2)
 
@@ -138,6 +284,8 @@ def _fwd_kernel(
         stage[slot] = acc[:]
         pltpu.make_async_copy(stage.at[slot], out_ref.at[tile], sem.at[slot]).start()
         cnt[0] = c + 1
+
+    basis = _power_basis()
 
     def body(s, _):
         g = pid * super_ + s
@@ -161,18 +309,32 @@ def _fwd_kernel(
 
         # Whole-tile early out: every pixel saturated -> remaining chunks of
         # this tile cannot contribute. Trash-tile (padding) chunks skip too.
-        @pl.when((jnp.max(t_run * lv) >= 1e-4) & (t < n_tiles))
-        def _():
-            px, py = _local_pixel_coords() if local_coords else _pixel_coords(t, grid_w)
-            blk = props_ref[pl.ds(s * chunk, chunk), :]
-            alpha, _, rgb, *_ = _alpha_math(blk, px, py)
+        em = _early_mode()
+        if em == "max":
+            gate = (jnp.max(t_run * lv) >= 1e-4) & (t < n_tiles)
+        elif em == "scalar":
+            gate = t < n_tiles
+        else:
+            gate = t >= 0
 
-            t_in = _exclusive_cumprod_rows(1.0 - alpha, mxu=SCAN_MXU_FWD) * t_run
-            trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
-            done_inc = _inclusive_or_rows(
-                trigger.astype(jnp.float32), mxu=SCAN_MXU_FWD
-            ) > 0.0
-            live_k = jnp.where(done_inc, 0.0, lv)
+        @pl.when(gate)
+        def _():
+            ox, oy = _tile_origin(t, grid_w, local_coords)
+            if "noread" in _ablate():  # timing ablation: no property loads
+                blk = jnp.full((chunk, PROPS_F), 0.37, jnp.float32)
+            else:
+                blk = props_ref[pl.ds(s * chunk, chunk), :]
+            alpha, _, rgb, *_ = _alpha_fused(blk, ox, oy, basis)
+
+            ab = _ablate()
+            if "noscan1" in ab:
+                t_in = (1.0 - alpha) * t_run
+            else:
+                t_in = _exclusive_cumprod_rows(1.0 - alpha, mxu=SCAN_MXU_FWD) * t_run
+            if "noterm" in ab:
+                live_k, tstar = lv * jnp.ones_like(alpha), jnp.zeros_like(t_run)
+            else:
+                live_k, tstar = _termination(alpha, t_in, lv)
 
             w = alpha * t_in * live_k
             color = acc[0:3] + jax.lax.dot_general(
@@ -180,16 +342,24 @@ def _fwd_kernel(
                 precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes: keep
                 # the color accumulation bit-comparable with the XLA/golden refs
             )
-            # (A no-saturation fast path skipping the or-scan/row-product was
+            # (A no-saturation fast path skipping the termination masks was
             # measured a ~2.5% LOSS at 1M: saturation triggers are common in
             # the active band of real tiles, so the branch mostly misfires.)
-            t_new = t_run * _row_product(1.0 - alpha * live_k, mxu=SCAN_MXU_FWD)
+            t_new, live_new = _carry_updates(alpha, t_in, t_run, lv, tstar)
             acc[:] = jnp.concatenate([color, t_new], axis=0)
-            live[:] = lv * (1.0 - done_inc[-1:].astype(jnp.float32))
+            live[:] = live_new
 
         return 0
 
-    jax.lax.fori_loop(0, super_, body, 0)
+    if os.environ.get("GT_UNROLL", "0") == "1":
+        # Static unroll: no loop-trip mechanics, and Mosaic can software-
+        # pipeline the scalar/branch latency of chunk k under chunk k-1's
+        # vector work (the 1M ablation showed the loop is latency-bound,
+        # not compute-bound).
+        for s_ in range(super_):
+            body(s_, 0)
+    else:
+        jax.lax.fori_loop(0, super_, body, 0)
 
     @pl.when(pid == nprog - 1)
     def _():
@@ -223,6 +393,9 @@ def _bwd_kernel(
     pid = pl.program_id(0)
     nprog = pl.num_programs(0)
     g_last = nprog * super_ - 1
+    basis = _power_basis()
+    basis_cols = _basis_cols()
+    mom_mxu = os.environ.get("GT_MOM", "vpu") == "mxu"
 
     def body(s, _):
         g = pid * super_ + s
@@ -230,14 +403,19 @@ def _bwd_kernel(
         prev = chunk_tile_ref[jnp.maximum(g - 1, 0)]
         is_first = (g == 0) | (t != prev)
 
+        nofetch = "nofetch" in _ablate()
+
         @pl.when(g == 0)
         def _():
             slot_ref[0] = 0
+
+        @pl.when((g == 0) & (not nofetch))
+        def _():
             cp = pltpu.make_async_copy(tiledata_ref.at[t], tile_scr.at[0], fetch_sem.at[0])
             cp.start()
             cp.wait()
 
-        @pl.when((g > 0) & is_first)
+        @pl.when((g > 0) & is_first & (not nofetch))
         def _():
             # The previous tile's last chunk already started this fetch into
             # the other slot; swap and wait (usually already complete).
@@ -258,7 +436,7 @@ def _bwd_kernel(
         # Last chunk of this tile: prefetch the next tile's rows NOW.
         nxt_t = chunk_tile_ref[jnp.minimum(g + 1, g_last)]
 
-        @pl.when((g < g_last) & (nxt_t != t))
+        @pl.when((g < g_last) & (nxt_t != t) & (not nofetch))
         def _():
             pltpu.make_async_copy(
                 tiledata_ref.at[nxt_t], tile_scr.at[1 - cur], fetch_sem.at[1 - cur]
@@ -266,24 +444,36 @@ def _bwd_kernel(
 
         t_run = t_scr[:]
         live = live_scr[:]
-        active = (jnp.max(t_run * live) >= 1e-4) & (t < n_tiles)
+        em = _early_mode()
+        if em == "max":
+            active = (jnp.max(t_run * live) >= 1e-4) & (t < n_tiles)
+        elif em == "scalar":
+            active = t < n_tiles
+        else:
+            active = t >= 0
 
         @pl.when(active)
         def _():
-            px, py = _local_pixel_coords() if local_coords else _pixel_coords(t, grid_w)
-            blk = props_ref[pl.ds(s * chunk, chunk), :]
-            alpha, alpha_raw, rgb, dx, dy, a, b, c, opac = _alpha_math(blk, px, py)
+            ox, oy = _tile_origin(t, grid_w, local_coords)
+            if "noread" in _ablate():  # timing ablation: no property loads
+                blk = jnp.full((chunk, PROPS_F), 0.37, jnp.float32)
+            else:
+                blk = props_ref[pl.ds(s * chunk, chunk), :]
+            alpha, alpha_raw, rgb, x, y, a, b, c, opac = _alpha_fused(blk, ox, oy, basis)
             c_total = tile_scr[cur, 0:3]
             t_final = tile_scr[cur, 3:4]
             g_color = tile_scr[cur, 4:7]
             g_t = tile_scr[cur, 7:8]
 
-            t_in = _exclusive_cumprod_rows(1.0 - alpha, mxu=SCAN_MXU_BWD) * t_run
-            trigger = (alpha > 0.0) & (t_in * (1.0 - alpha) < 1e-4)
-            done_inc = _inclusive_or_rows(
-                trigger.astype(jnp.float32), mxu=SCAN_MXU_BWD
-            ) > 0.0
-            live_k = jnp.where(done_inc, 0.0, live)
+            ab = _ablate()
+            if "noscan1" in ab:
+                t_in = (1.0 - alpha) * t_run
+            else:
+                t_in = _exclusive_cumprod_rows(1.0 - alpha, mxu=SCAN_MXU_BWD) * t_run
+            if "noterm" in ab:
+                live_k, tstar = live * jnp.ones_like(alpha), jnp.zeros_like(t_run)
+            else:
+                live_k, tstar = _termination(alpha, t_in, live)
             w = alpha * t_in * live_k
 
             d_rgb = jax.lax.dot_general(
@@ -306,7 +496,7 @@ def _bwd_kernel(
                 + rgb[:, 2:3] * g_color[2:3]
             )  # [chunk, P]: sum_c rgb_kc * gC_c(pixel)
             u = w * rgb_dot_gc
-            p_u = _inclusive_cumsum_rows(u, mxu=SCAN_MXU_BWD)
+            p_u = u if "noscan2" in ab else _inclusive_cumsum_rows(u, mxu=SCAN_MXU_BWD)
             gdot_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)  # [1, P]
             gdot_pref = pref[0:1]
             suffix_dot = (gdot_total - gdot_pref) - p_u
@@ -319,32 +509,71 @@ def _bwd_kernel(
 
             capped = alpha_raw > 0.99
             g_alpha = jnp.where(capped, 0.0, g_alpha)
-            g_power = g_alpha * alpha
-            opac_safe = jnp.maximum(opac, 1e-12)
-            g_opac_px = g_alpha * alpha / opac_safe
+            g_power = g_alpha * alpha  # [chunk, P]
 
-            g_dx = g_power * (-(a * dx) - b * dy)
-            g_dy = g_power * (-(c * dy) - b * dx)
-            g_a = g_power * (-0.5 * dx * dx)
-            g_b = g_power * (-(dx * dy))
-            g_c = g_power * (-0.5 * dy * dy)
+            # Per-row gradient REDUCTIONS as one MXU moment contraction: each
+            # of g_dx/g_dy/g_a/g_b/g_c is g_power times a polynomial in
+            # (px, py) with per-row coefficients, so their row sums are
+            # linear in the moments m_j = sum_p g_power * basis_j(p):
+            #   m = [S, S px, S py, S px^2, S py^2, S px py]  (S = sum g_power)
+            # — replacing ~10 [chunk, P] elementwise passes + 8 VPU row
+            # reductions with ONE [chunk,P]x[P,8] matmul + [chunk,1] FMAs.
+            if "nomom" in ab:
+                m0, m1, m2 = g_power[:, 0:1], g_power[:, 1:2], g_power[:, 2:3]
+                m3, m4, m5 = g_power[:, 3:4], g_power[:, 4:5], g_power[:, 5:6]
+            elif mom_mxu:
+                m = jax.lax.dot_general(
+                    g_power, basis_cols, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [chunk, 8]
+                m0, m1, m2 = m[:, 0:1], m[:, 1:2], m[:, 2:3]
+                m3, m4, m5 = m[:, 3:4], m[:, 4:5], m[:, 5:6]
+            else:
+                # VPU variant (v4 form, for A/B): explicit monomial products +
+                # row reductions. 5 broadcast mults + 6 row sums.
+                px, py = _local_pixel_coords()
+                rs = lambda v: jnp.sum(v, axis=1, keepdims=True)
+                m0 = rs(g_power)
+                m1 = rs(g_power * px)
+                m2 = rs(g_power * py)
+                m3 = rs(g_power * (px * px))
+                m4 = rs(g_power * (py * py))
+                m5 = rs(g_power * (px * py))
+            if "noasm" in ab:
+                g_dx, g_dy, g_a, g_b, g_c, g_opac = m0, m1, m2, m3, m4, m5
+            else:
+                s_dx = x * m0 - m1  # sum_p g_power * dx   (dx = x - px)
+                s_dy = y * m0 - m2
+                g_dx = -(a * s_dx + b * s_dy)
+                g_dy = -(c * s_dy + b * s_dx)
+                g_a = -0.5 * (x * x * m0 - 2.0 * x * m1 + m3)
+                g_b = -(x * y * m0 - x * m2 - y * m1 + m5)
+                g_c = -0.5 * (y * y * m0 - 2.0 * y * m2 + m4)
+                opac_safe = jnp.maximum(opac, 1e-12)
+                g_opac = m0 / opac_safe  # sum_p g_alpha * alpha / opac
 
-            def rsum(v):
-                return jnp.sum(v, axis=1, keepdims=True)
-
-            zeros1 = jnp.zeros((chunk, 1), jnp.float32)
-            dprops_ref[pl.ds(s * chunk, chunk), :] = jnp.concatenate(
-                [
-                    rsum(g_dx), rsum(g_dy), rsum(g_a), rsum(g_b), rsum(g_c),
-                    d_rgb, rsum(g_opac_px),
-                    zeros1, zeros1, zeros1, zeros1, zeros1, zeros1, zeros1,
-                ],
-                axis=1,
-            )
+            if "rawstore" in ab:  # timing ablation: store without the
+                # 16-way column concat (keeps every gradient live via adds)
+                dprops_ref[pl.ds(s * chunk, chunk), :] = (
+                    g_power[:, 0:PROPS_F] + g_dx + g_dy + g_a + g_b + g_c
+                    + g_opac + d_rgb[:, 0:1]
+                )
+            else:
+                zeros1 = jnp.zeros((chunk, 1), jnp.float32)
+                dprops_ref[pl.ds(s * chunk, chunk), :] = jnp.concatenate(
+                    [
+                        g_dx, g_dy, g_a, g_b, g_c,
+                        d_rgb, g_opac,
+                        zeros1, zeros1, zeros1, zeros1, zeros1, zeros1, zeros1,
+                    ],
+                    axis=1,
+                )
 
             pref[0:1] = gdot_pref + p_u[-1:]
-            t_scr[:] = t_run * _row_product(1.0 - alpha * live_k, mxu=SCAN_MXU_BWD)
-            live_scr[:] = live * (1.0 - done_inc[-1:].astype(jnp.float32))
+            t_new, live_new = _carry_updates(alpha, t_in, t_run, live, tstar)
+            t_scr[:] = t_new
+            live_scr[:] = live_new
 
         @pl.when(jnp.logical_not(active))
         def _():
@@ -352,7 +581,15 @@ def _bwd_kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, super_, body, 0)
+    if os.environ.get("GT_UNROLL", "0") == "1":
+        # Static unroll: no loop-trip mechanics, and Mosaic can software-
+        # pipeline the scalar/branch latency of chunk k under chunk k-1's
+        # vector work (the 1M ablation showed the loop is latency-bound,
+        # not compute-bound).
+        for s_ in range(super_):
+            body(s_, 0)
+    else:
+        jax.lax.fori_loop(0, super_, body, 0)
 
 
 @jax.custom_vjp

@@ -80,36 +80,43 @@ def test_fused_ssim_unaligned_shapes_compiled():
 
 
 def test_chamfer_vmap_scatter_repro():
-    """Tracked repro of the pinned TPU scatter-fusion crash (KNOWN_GAPS.md):
-    vmapping the chamfer matched-pair re-gather makes its backward a BATCHED
-    scatter-add, which aborted the v5-lite backend's SortedScatterEmitter
-    (bad_optional_access) on jax 0.9.0. ops/chamfer.py Python-unrolls the
-    batch to dodge it. If this test FAILS (the subprocess now succeeds), the
-    compiler bug is fixed — switch chamfer_distance back to jax.vmap and
-    delete this repro."""
-    out = _run_on_chip(
-        """
-        import numpy as np, jax, jax.numpy as jnp
-        assert jax.default_backend() == "tpu", jax.default_backend()
+    """Tracked repro of the pinned TPU batched-scatter pathology
+    (KNOWN_GAPS.md): vmapping the chamfer matched-pair re-gather makes its
+    backward a BATCHED scatter-add. On jax 0.9.0 / v5-lite this originally
+    ABORTED the backend (SortedScatterEmitter bad_optional_access); measured
+    2026-08-20 the simple pattern now compiles but the REAL blockwise-scan
+    chamfer (this repro) HANGS the compiler (>15 min, no progress), so
+    ops/chamfer.py keeps the Python batch unroll. If this test FAILS (the
+    repro compiles+runs inside its 5-minute budget), the compiler is fixed —
+    switch chamfer_distance back to jax.vmap and delete this repro."""
+    try:
+        out = _run_on_chip(
+            """
+            import numpy as np, jax, jax.numpy as jnp, functools
+            assert jax.default_backend() == "tpu", jax.default_backend()
+            from gaussian_transformer_tpu.ops.chamfer import _min_dist_one_way
 
-        def one(a1, b1):
-            d2 = jnp.sum((a1[:, None, :] - b1[None, :, :]) ** 2, -1)
-            idx1 = jnp.argmin(jax.lax.stop_gradient(d2), axis=-1)
-            return jnp.sum((a1 - b1[idx1]) ** 2)
+            def one(a1, b1):
+                _, idx1 = _min_dist_one_way(
+                    jax.lax.stop_gradient(a1), jax.lax.stop_gradient(b1), 512)
+                return jnp.sum((a1 - b1[idx1]) ** 2)
 
-        rng = np.random.RandomState(0)
-        a = jnp.asarray(rng.randn(4, 64, 8).astype(np.float32))
-        b = jnp.asarray(rng.randn(4, 96, 8).astype(np.float32))
-        g = jax.jit(jax.grad(lambda x, y: jnp.sum(jax.vmap(one)(x, y)), argnums=1))(a, b)
-        g.block_until_ready()
-        print("VMAP-SCATTER-OK")
-        """,
-        timeout=600,
-    )
+            rng = np.random.RandomState(0)
+            a = jnp.asarray(rng.randn(4, 512, 26).astype(np.float32))
+            b = jnp.asarray(rng.randn(4, 768, 26).astype(np.float32))
+            g = jax.jit(jax.grad(
+                lambda x, y: jnp.sum(jax.vmap(one)(x, y)), argnums=1))(a, b)
+            g.block_until_ready()
+            print("VMAP-SCATTER-OK")
+            """,
+            timeout=300,
+        )
+    except subprocess.TimeoutExpired:
+        return  # compile hang == the pin still holds; test passes
     if out.returncode == 0 and "VMAP-SCATTER-OK" in out.stdout:
         pytest.fail(
-            "pinned TPU scatter-fusion bug appears FIXED on this backend: "
-            "remove the Python batch unroll in ops/chamfer.py (use jax.vmap) "
-            "and delete this repro test."
+            "pinned TPU batched-scatter pathology appears FIXED on this "
+            "backend: remove the Python batch unroll in ops/chamfer.py "
+            "(use jax.vmap) and delete this repro test."
         )
     # Crash (SIGABRT / nonzero rc) == the pin still holds; test passes.

@@ -119,11 +119,14 @@ class TestTiledVsNaive:
         tiled = render(cam, scene, RenderConfig(max_per_tile=max(n + 7, 16)), bg_color=bg)
         naive = render_naive(cam, scene, bg_color=bg)
         assert int(tiled["overflow"]) == 0
+        # atol 3e-5: the v5 stream kernel evaluates the EWA exponent as an
+        # MXU quadratic-basis matmul (HIGHEST precision), whose association
+        # order differs from the naive FMA chain by O(1e-5) after exp().
         np.testing.assert_allclose(
-            np.asarray(tiled["render"]), np.asarray(naive["render"]), atol=1e-5
+            np.asarray(tiled["render"]), np.asarray(naive["render"]), atol=3e-5
         )
         np.testing.assert_allclose(
-            np.asarray(tiled["final_T"]), np.asarray(naive["final_T"]), atol=1e-5
+            np.asarray(tiled["final_T"]), np.asarray(naive["final_T"]), atol=3e-5
         )
 
     def test_overflow_error_shrinks_with_cap(self):
