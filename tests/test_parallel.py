@@ -146,6 +146,7 @@ class TestSequenceParallelTraining:
         )
         return params, float(loss), grads
 
+    @pytest.mark.slow  # 3 full flat-trainer loss+grad compiles, ~8 min on CPU
     def test_flat_step_ring_and_blockwise_match_dense(self):
         if len(jax.devices()) < 4:
             pytest.skip("needs 4 virtual devices")

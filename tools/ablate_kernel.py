@@ -17,8 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-FWD_ABLATIONS = ["", "noflush", "noscan1,noterm,noexp,noflush"]
-BWD_ABLATIONS = ["", "nofetch", "rawstore", "noflush,nofetch,rawstore",
+FWD_ABLATIONS = ["", "noread", "noflush", "noscan1,noterm,noexp,noflush"]
+BWD_ABLATIONS = ["", "noread", "nofetch", "rawstore", "noflush,nofetch,rawstore",
                  "noscan1,noscan2,noterm,noexp,nomom,noasm,noflush,nofetch,rawstore"]
 
 
