@@ -109,6 +109,11 @@ class RenderConfig:
     # materializes [C, R], so the generous cap costs only the true extra
     # instances (+8% at the bench point, 0 on trained/densified scenes).
     max_tiles_per_gaussian: int = struct.field(pytree_node=False, default=1024)
+    # Exact-semantics tile culling in the stream binning: drop (gaussian,
+    # tile) instances whose alpha provably stays under the 1/255 skip floor
+    # across the whole tile (tiles._tile_cull_dist2). Changes no image or
+    # gradient bit at fp32; disable only for A/B.
+    tile_cull: bool = struct.field(pytree_node=False, default=True)
     # Global (gaussian, tile) instance budget; 0 = auto (16 * capacity).
     max_instances: int = struct.field(pytree_node=False, default=0)
     # CHUNK-padded stream budget (stream compositor); 0 = auto estimate.
@@ -236,6 +241,11 @@ def render(
             proj.depths,
             proj.radii_bin,
             include,
+            # Exact-semantics tile culling (tiles._tile_cull_dist2): drop
+            # (gaussian, tile) instances that can never reach the 1/255
+            # alpha floor anywhere in the tile.
+            jax.lax.stop_gradient(proj.conics) if cfg.tile_cull else None,
+            jax.lax.stop_gradient(proj.opacities) if cfg.tile_cull else None,
             grid_w=grid_w,
             grid_h=grid_h,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,

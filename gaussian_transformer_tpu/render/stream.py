@@ -115,16 +115,23 @@ def _early_mode():
     choices — dead pixels contribute zero through the live/termination masks
     either way; the gate is purely a skip optimization):
 
-    * ``scalar`` (default): gate only on the scalar trash-tile test
-      (t < n_tiles); saturated tiles still compute (their contributions are
-      zero). On-chip 1M A/B (tools/ab_early.py, 2026-08-20): fwd −5.7 ms,
-      fwd+bwd −9.5 ms vs ``max`` — the work "skipped" by the max-gate costs
-      less than its cross-lane reduce feeding a BRANCH (a vector→scalar
-      readback on the critical path of every chunk).
-    * ``max`` : skip when every pixel is saturated — `jnp.max(t_run*live)`.
+    * ``lag`` (default): skip a tile's remaining chunks once every pixel is
+      saturated, but read the saturation flag WRITTEN TWO CHUNKS AGO (a
+      2-entry SMEM ring of (tile, saturated) records). The cross-lane
+      reduce's vector→scalar readback retires during the next two chunks'
+      vector work instead of stalling the branch — the tile skips from its
+      2nd-saturated chunk onward (vs the 0th for ``max``), which costs at
+      most 2 extra dead chunks per tile and is numerics-identical either
+      way.
+    * ``scalar``: gate only on the scalar trash-tile test (t < n_tiles);
+      saturated tiles still compute (their contributions are zero). On-chip
+      1M A/B (tools/ab_early.py, 2026-08-20): fwd −5.7 ms, fwd+bwd −9.5 ms
+      vs ``max`` — the skipped work costs less than the stalling readback.
+    * ``max`` : skip when every pixel is saturated — `jnp.max(t_run*live)`
+      fresh at every chunk start; the readback stalls every chunk.
     * ``none`` : no gate at all.
     """
-    return os.environ.get("GT_EARLY", "scalar")
+    return os.environ.get("GT_EARLY", "lag")
 
 
 def _ablate():
@@ -257,7 +264,7 @@ def _carry_updates(alpha, t_in, t_run, lv, tstar):
 
 
 def _fwd_kernel(
-    chunk_tile_ref, props_ref, out_ref, acc, live, stage, cnt, sem,
+    chunk_tile_ref, props_ref, out_ref, acc, live, stage, cnt, sem, sat,
     *, grid_w, n_tiles, super_, chunk, local_coords=False,
 ):
     pid = pl.program_id(0)
@@ -266,6 +273,8 @@ def _fwd_kernel(
     @pl.when(pid == 0)
     def _():
         cnt[0] = 0
+        sat[0] = -1
+        sat[1] = -1
 
     def flush(tile):
         """Stage the accumulator and async-copy it to out[tile]; 2-slot
@@ -310,8 +319,13 @@ def _fwd_kernel(
         # Whole-tile early out: every pixel saturated -> remaining chunks of
         # this tile cannot contribute. Trash-tile (padding) chunks skip too.
         em = _early_mode()
+        slot2 = jax.lax.rem(g, 2)
         if em == "max":
             gate = (jnp.max(t_run * lv) >= 1e-4) & (t < n_tiles)
+        elif em == "lag":
+            # Saturation record written two chunks ago (same-tile check
+            # makes stale entries from other tiles harmless).
+            gate = (t < n_tiles) & (sat[slot2] != t)
         elif em == "scalar":
             gate = t < n_tiles
         else:
@@ -320,8 +334,13 @@ def _fwd_kernel(
         @pl.when(gate)
         def _():
             ox, oy = _tile_origin(t, grid_w, local_coords)
-            if "noread" in _ablate():  # timing ablation: no property loads
-                blk = jnp.full((chunk, PROPS_F), 0.37, jnp.float32)
+            if "noread" in _ablate():  # timing ablation: no property load;
+                # an iota stand-in (jnp.full constants and single-row
+                # broadcasts both crash Mosaic lowering here)
+                blk = (
+                    jax.lax.broadcasted_iota(jnp.int32, (chunk, PROPS_F), 0)
+                    .astype(jnp.float32) * 1e-3 + 0.1
+                )
             else:
                 blk = props_ref[pl.ds(s * chunk, chunk), :]
             alpha, _, rgb, *_ = _alpha_fused(blk, ox, oy, basis)
@@ -348,6 +367,17 @@ def _fwd_kernel(
             t_new, live_new = _carry_updates(alpha, t_in, t_run, lv, tstar)
             acc[:] = jnp.concatenate([color, t_new], axis=0)
             live[:] = live_new
+            if em == "lag":
+                # Record saturation for chunk g+2's gate; the readback of
+                # this reduce overlaps the next two chunks' vector work.
+                sat[slot2] = jnp.where(
+                    jnp.max(t_new * live_new) < 1e-4, t, -1
+                ).astype(jnp.int32)
+
+        if em == "lag":
+            @pl.when(jnp.logical_not(gate) & (t < n_tiles))
+            def _():
+                sat[slot2] = t  # skipped chunk: tile remains saturated
 
         return 0
 
@@ -380,7 +410,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     chunk_tile_ref, props_ref, tiledata_ref, dprops_ref,
-    tile_scr, pref, t_scr, live_scr, slot_ref, fetch_sem,
+    tile_scr, pref, t_scr, live_scr, slot_ref, fetch_sem, sat,
     *, grid_w, n_tiles, super_, chunk, local_coords=False,
 ):
     """Replay chunks and emit per-instance grads (math identical to the v2
@@ -396,6 +426,11 @@ def _bwd_kernel(
     basis = _power_basis()
     basis_cols = _basis_cols()
     mom_mxu = os.environ.get("GT_MOM", "vpu") == "mxu"
+
+    @pl.when(pid == 0)
+    def _():
+        sat[0] = -1
+        sat[1] = -1
 
     def body(s, _):
         g = pid * super_ + s
@@ -445,8 +480,11 @@ def _bwd_kernel(
         t_run = t_scr[:]
         live = live_scr[:]
         em = _early_mode()
+        slot2 = jax.lax.rem(g, 2)
         if em == "max":
             active = (jnp.max(t_run * live) >= 1e-4) & (t < n_tiles)
+        elif em == "lag":
+            active = (t < n_tiles) & (sat[slot2] != t)
         elif em == "scalar":
             active = t < n_tiles
         else:
@@ -455,8 +493,13 @@ def _bwd_kernel(
         @pl.when(active)
         def _():
             ox, oy = _tile_origin(t, grid_w, local_coords)
-            if "noread" in _ablate():  # timing ablation: no property loads
-                blk = jnp.full((chunk, PROPS_F), 0.37, jnp.float32)
+            if "noread" in _ablate():  # timing ablation: no property load;
+                # an iota stand-in (jnp.full constants and single-row
+                # broadcasts both crash Mosaic lowering here)
+                blk = (
+                    jax.lax.broadcasted_iota(jnp.int32, (chunk, PROPS_F), 0)
+                    .astype(jnp.float32) * 1e-3 + 0.1
+                )
             else:
                 blk = props_ref[pl.ds(s * chunk, chunk), :]
             alpha, alpha_raw, rgb, x, y, a, b, c, opac = _alpha_fused(blk, ox, oy, basis)
@@ -574,10 +617,21 @@ def _bwd_kernel(
             t_new, live_new = _carry_updates(alpha, t_in, t_run, live, tstar)
             t_scr[:] = t_new
             live_scr[:] = live_new
+            if em == "lag":
+                sat[slot2] = jnp.where(
+                    jnp.max(t_new * live_new) < 1e-4, t, -1
+                ).astype(jnp.int32)
 
         @pl.when(jnp.logical_not(active))
         def _():
+            # Skipped chunks (trash or saturated tail) have exactly zero
+            # per-row gradients.
             dprops_ref[pl.ds(s * chunk, chunk), :] = jnp.zeros((chunk, PROPS_F), jnp.float32)
+
+        if em == "lag":
+            @pl.when(jnp.logical_not(active) & (t < n_tiles))
+            def _():
+                sat[slot2] = t  # skipped chunk: tile remains saturated
 
         return 0
 
@@ -741,6 +795,7 @@ def _run_fwd(props, chunk_tile, grid_w, grid_h, precision="fp32", block_rows=BLO
             pltpu.VMEM((2, 4, P), jnp.float32),  # staging slots
             pltpu.SMEM((1,), jnp.int32),  # flush counter
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),  # lagged-saturation ring (GT_EARLY=lag)
         ],
     )
     buf = pl.pallas_call(
@@ -801,6 +856,7 @@ def _stream_bwd_rule(grid_w, grid_h, precision, block_rows, residuals, cotangent
             pltpu.VMEM((1, P), jnp.float32),  # live carry
             pltpu.SMEM((1,), jnp.int32),  # resident slot
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),  # lagged-saturation ring (GT_EARLY=lag)
         ],
     )
     dprops = pl.pallas_call(

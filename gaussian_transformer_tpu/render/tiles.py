@@ -222,12 +222,44 @@ def _expand_unsorted(means2d, depths, radii, include, grid_w, grid_h, R, I):
     return order, tile_id, gauss_i, cap_overflow, jnp.sum(cov_raw), offsets, cov
 
 
-def _expand_orig(means2d, depths, radii, include, grid_w, grid_h, R, I):
+def _tile_cull_dist2(conics, opacities):
+    """Per-Gaussian squared pixel distance beyond which alpha can NEVER reach
+    the compositor's 1/255 skip floor (exact-semantics tile culling).
+
+    The EWA exponent is a negative-semidefinite quadratic form in the pixel
+    offset d: power(p) = -0.5 d^T Q d <= -0.5 * lam_min(Q) * |d|^2, so
+    alpha(p) = opac * exp(power) < 1/255 whenever
+    |d|^2 > 2 * ln(255 * opac) / lam_min. Instances whose whole 16x16 tile
+    lies beyond that distance contribute EXACTLY zero in the kernels (the
+    skip floor zeroes alpha < 1/255), so dropping them at binning time
+    changes no image or gradient bit. The upstream CUDA rasterizer bins the
+    full bounding-box rect (its getRect; consumed at
+    /root/reference/gaussian_renderer/__init__.py:85-93) and pays the walk —
+    this cull is a TPU-side algorithmic win, not a semantics change.
+
+    A 1e-3 relative margin on the threshold absorbs f32 rounding between
+    this bound and the kernel's own alpha evaluation."""
+    a, b, c = conics[:, 0], conics[:, 1], conics[:, 2]
+    lam_min = jnp.maximum(0.5 * ((a + c) - jnp.sqrt((a - c) ** 2 + 4.0 * b * b)), 0.0)
+    thr_log = jnp.log(jnp.maximum(opacities, 1e-12) * (255.0 / (1.0 - 1e-3)))
+    # lam_min == 0 (degenerate ellipse): bound is useless -> never cull.
+    d2 = jnp.where(lam_min > 0.0, 2.0 * thr_log / jnp.maximum(lam_min, 1e-30), jnp.inf)
+    # opacity already below the floor (include mask kills these anyway).
+    return jnp.where(thr_log > 0.0, d2, -1.0).astype(jnp.float32)
+
+
+def _expand_orig(means2d, depths, radii, include, grid_w, grid_h, R, I,
+                 conics=None, opacities=None):
     """Instance expansion in ORIGINAL gaussian order (no depth pre-sort) for
     the stream path: returns (tile_id [I], gauss_i [I], depth_i [I],
     cap_overflow [], total_raw [], offsets [C], cov [C]). Sentinels: tile T,
     gaussian C, depth +inf. Depth ordering is applied later by the two-key
     (tile, depth) instance sort in ``bin_stream``.
+
+    When ``conics``/``opacities`` are given, instances whose tile provably
+    cannot reach the 1/255 alpha floor are culled (see _tile_cull_dist2) —
+    numerics-exact, and at realistic scale it removes the bounding-box
+    corner/tail tiles that dominate the compositor's row count.
 
     The per-instance rect lookup rides TWO flat int32 gathers plus one f32
     depth gather — (min_x, min_y, w) bit-packed into one word — instead of a
@@ -269,11 +301,17 @@ def _expand_orig(means2d, depths, radii, include, grid_w, grid_h, R, I):
     f32 = jnp.float32
     w_safe = jnp.maximum(w, 1)
     rect_xy = (min_x + min_y * 1024).astype(f32)
-    packed = jnp.stack(
-        [rect_xy, w_safe.astype(f32), offsets.astype(f32), depths.astype(f32)],
-        axis=1,
-    )  # [C, 4] f32
-    vals = packed[gi_safe]  # [I, 4] row gather
+    cull = conics is not None
+    cols = [rect_xy, w_safe.astype(f32), offsets.astype(f32), depths.astype(f32)]
+    if cull:
+        cols += [
+            means2d[:, 0].astype(f32),
+            means2d[:, 1].astype(f32),
+            _tile_cull_dist2(conics, opacities),
+            jnp.zeros((C,), f32),  # pad to 8 f32 = 32B rows
+        ]
+    packed = jnp.stack(cols, axis=1)  # [C, 4 or 8] f32
+    vals = packed[gi_safe]  # [I, .] row gather
     rxy, w_g, dep_g = vals[:, 0], vals[:, 1], vals[:, 3]
     if I < (1 << 24):
         r_i = j.astype(f32) - vals[:, 2]
@@ -287,6 +325,15 @@ def _expand_orig(means2d, depths, radii, include, grid_w, grid_h, R, I):
     min_y_g = jnp.floor((rxy + 0.5) * (1.0 / 1024.0))
     tx = (rxy - 1024.0 * min_y_g) + rem
     ty = min_y_g + q
+    if cull:
+        # Nearest pixel CENTER of tile (tx, ty) to the splat center (pixel
+        # centers are the integer grid the kernels evaluate: tile-local
+        # px, py in 0..15 plus the tile origin tx*16, ty*16).
+        cx, cy, d2_cut = vals[:, 4], vals[:, 5], vals[:, 6]
+        qx = jnp.clip(cx, tx * 16.0, tx * 16.0 + 15.0)
+        qy = jnp.clip(cy, ty * 16.0, ty * 16.0 + 15.0)
+        d2 = (cx - qx) ** 2 + (cy - qy) ** 2
+        inst_valid = inst_valid & (d2 <= d2_cut)
     tile_id = jnp.where(
         inst_valid, (ty * grid_w + tx).astype(jnp.int32), T
     ).astype(jnp.int32)
@@ -345,6 +392,8 @@ def bin_stream(
     depths: jnp.ndarray,
     radii: jnp.ndarray,
     include: jnp.ndarray,
+    conics: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
     *,
     grid_w: int,
     grid_h: int,
@@ -392,7 +441,8 @@ def bin_stream(
     G = I_pad // chunk
 
     tile_id, gauss_i, depth_i, cap_overflow, total_raw, offsets, cov = _expand_orig(
-        means2d, depths, radii, include, grid_w, grid_h, max_tiles_per_gaussian, I
+        means2d, depths, radii, include, grid_w, grid_h, max_tiles_per_gaussian, I,
+        conics, opacities,
     )
     i_iota = jnp.arange(I, dtype=jnp.int32)
     # Stable (tile, depth) sort carrying (gaussian, unsorted-index) payloads;

@@ -198,6 +198,42 @@ class TestGradients:
         assert gn[vis].max() > 0.0
 
 
+class TestTileCull:
+    """Exact-semantics tile culling (tiles._tile_cull_dist2): culled
+    instances can never reach the kernel's 1/255 alpha skip floor, so the
+    image and gradients must match the uncalled binning to float-reassociation
+    noise while the padded stream shrinks."""
+
+    def test_cull_is_exact_and_shrinks(self):
+        cam = make_camera(width=160, height=96, z=3.0)
+        scene = make_scene(300, seed=3)
+        # widen splats so bounding boxes cover many tiles the ellipse misses
+        scene = scene.replace(scaling=scene.scaling + 0.7)
+        bg = jnp.array([0.05, 0.1, 0.15])
+        budgets = dict(max_instances=131072, max_stream=262144)
+        cfg_on = RenderConfig(**budgets)
+        cfg_off = RenderConfig(tile_cull=False, **budgets)
+        on = render(cam, scene, cfg_on, bg_color=bg)
+        off = render(cam, scene, cfg_off, bg_color=bg)
+        assert int(on["overflow"]) == 0 and int(off["overflow"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(on["render"]), np.asarray(off["render"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(on["final_T"]), np.asarray(off["final_T"]), atol=1e-6
+        )
+        assert int(on["n_padded"]) < int(off["n_padded"])
+
+        def loss(xyz, cfg):
+            out = render(cam, scene.replace(xyz=xyz), cfg, bg_color=bg)
+            return jnp.sum(out["render"] ** 2)
+
+        g_on = np.asarray(jax.grad(loss)(scene.get_xyz, cfg_on))
+        g_off = np.asarray(jax.grad(loss)(scene.get_xyz, cfg_off))
+        scale = np.abs(g_off).max() + 1e-8
+        np.testing.assert_allclose(g_on, g_off, atol=2e-5 * scale)
+
+
 class TestTuneConfig:
     """Budget tuning policy (render.tune_config): scale-adaptive headroom and
     the worst-case-padding cap on the stream budget."""

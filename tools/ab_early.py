@@ -57,12 +57,12 @@ def main():
         return jnp.sum(g) * 1e-20
 
     print(f"n={n_gauss} I={cfg.max_instances} stream={cfg.max_stream}", flush=True)
-    for em in ("max", "scalar", "none"):
+    for em in ("lag", "scalar", "max"):
         os.environ["GT_EARLY"] = em
         timeit(f"fwd   [early={em}]", fwd)
         timeit(f"fwdbwd[early={em}]", fwdbwd)
-    os.environ["GT_EARLY"] = "max"
-    for abl in ("nofetch", "rawstore"):
+    os.environ["GT_EARLY"] = "lag"
+    for abl in ():
         os.environ["GT_ABLATE"] = abl
         timeit(f"fwdbwd[{abl}]", fwdbwd)
     os.environ.pop("GT_ABLATE", None)
