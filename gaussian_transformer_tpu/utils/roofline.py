@@ -18,11 +18,15 @@ Hardware model (documented assumptions, one v5e chip):
   * MXU: 197 Tflop/s bf16; fp32 at HIGHEST precision lowers to multi-pass
     bf16 (6 passes) -> ~33 Tflop/s effective. Our kernels' dots are fp32
     HIGHEST (bit-comparability with the XLA goldens).
-  * VPU: 8x128 lanes x 4 ALUs x 2 flops (FMA) x ~0.94 GHz ~= 7.7 Tflop/s
-    fp32 upper bound; we count each elementwise [chunk, P] traversal as one
-    "pass" of 1 op/element (FMA-fusable pairs counted as one), transcendental
-    exp as 8 op-equivalents. The VPU floor is therefore approximate to
-    ~+-30%; the HBM floor is exact given the traffic model.
+  * VPU: 8x128 lanes x 4 ALUs x ~0.94 GHz ~= 3.85 T single-op/s fp32 upper
+    bound (4-way issue, ops counted as 1/element/pass — FMA-fusable pairs
+    already counted as one pass, so the FMA x2 does not apply). We count
+    each elementwise [chunk, P] traversal as one "pass", transcendental exp
+    as 8 op-equivalents. Round-5 ablations (BENCH_SCALE.md) measured the
+    stream kernels running within ~2x of the SINGLE-issue floor (0.96 T/s),
+    so a frac near 0.25 on this 4-issue model is already near what Pallas
+    scheduling achieves in practice; the HBM floor is exact given the
+    traffic model.
 
 Byte/op models are derived from the actual kernel structure in
 render/stream.py, render/project.py, render/tiles.py — see the per-stage
@@ -36,7 +40,7 @@ from typing import Dict, NamedTuple
 
 HBM_BW = 819e9  # B/s
 MXU_F32_HIGHEST = 33e12  # flop/s (197 Tflop/s bf16 / 6-pass fp32 emulation)
-VPU_PEAK = 7.7e12  # flop/s upper bound, fp32
+VPU_PEAK = 3.85e12  # single-op/s upper bound, fp32 (4-way issue; see header)
 
 
 class StageRoofline(NamedTuple):
