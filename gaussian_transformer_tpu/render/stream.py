@@ -542,16 +542,18 @@ def _bwd_kernel(
             p_u = u if "noscan2" in ab else _inclusive_cumsum_rows(u, mxu=SCAN_MXU_BWD)
             gdot_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)  # [1, P]
             gdot_pref = pref[0:1]
-            suffix_dot = (gdot_total - gdot_pref) - p_u
-            g_alpha = (
-                -g_t * t_final / one_minus
-                + rgb_dot_gc * t_in
-                - suffix_dot / one_minus
-            )
-            g_alpha = g_alpha * live_k * jnp.where(alpha > 0.0, 1.0, 0.0)
+            # Algebraically identical to the v4 form
+            #   -gT*T_final/om + rgb_dot_gc*t_in - ((gdot_total-gdot_pref)-p_u)/om
+            # with the two divisions fused into one and every [1, P]-only
+            # term folded into B first (saves ~3 [chunk, P] passes + one
+            # multi-pass f32 divide per chunk).
+            b_row = (gdot_total - gdot_pref) + g_t * t_final  # [1, P]
+            g_alpha = rgb_dot_gc * t_in + (p_u - b_row) / one_minus
 
             capped = alpha_raw > 0.99
-            g_alpha = jnp.where(capped, 0.0, g_alpha)
+            g_alpha = g_alpha * jnp.where(
+                (alpha > 0.0) & jnp.logical_not(capped), live_k, 0.0
+            )
             g_power = g_alpha * alpha  # [chunk, P]
 
             # Per-row gradient REDUCTIONS as one MXU moment contraction: each
