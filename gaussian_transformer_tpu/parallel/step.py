@@ -101,7 +101,7 @@ def _make_manual_loss(scene, cams, opt, render_cfg, mesh, data_axis="data", gaus
             gat = lambda x: jax.lax.all_gather(x, gauss_axis, axis=0, tiled=True)
             m2, dep, rad, radb, con, rgb, opa = (
                 gat(means2d_l), gat(proj.depths), gat(proj.radii),
-                gat(proj.radii_bin), gat(proj.conics), gat(proj.rgbs),
+                gat(proj.rect_bin), gat(proj.conics), gat(proj.rgbs),
                 gat(proj.opacities),
             )
             include = (rad > 0) & (opa >= 1.0 / 255.0)

@@ -183,7 +183,7 @@ def render_tile_sharded(
     grid_w, grid_h = num_tiles(W), num_tiles(H)
     include = (proj.radii > 0) & (proj.opacities >= 1.0 / 255.0)
     binned = bin_stream(
-        means2d, proj.depths, proj.radii_bin, include,
+        means2d, proj.depths, proj.rect_bin, include,
         grid_w=grid_w, grid_h=grid_h,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         max_instances=cfg.max_instances, max_stream=cfg.max_stream,

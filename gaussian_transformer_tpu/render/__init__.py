@@ -239,7 +239,7 @@ def render(
         binned = bin_stream(
             means2d,
             proj.depths,
-            proj.radii_bin,
+            proj.rect_bin,
             include,
             # Exact-semantics tile culling (tiles._tile_cull_dist2): drop
             # (gaussian, tile) instances that can never reach the 1/255

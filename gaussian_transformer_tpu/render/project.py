@@ -49,6 +49,9 @@ class Projected(NamedTuple):
     # rule). Binning with it sheds instances exactly; ``radii`` keeps the
     # reference's 3-sigma contract for visibility/densification stats.
     radii_bin: jnp.ndarray  # [C] int32
+    # Per-axis ellipse-bbox binning extents [C, 2] (<= radii_bin each axis);
+    # exact by the conditional-variance bound — see the projection body.
+    rect_bin: jnp.ndarray  # [C, 2] int32
 
 
 def ndc_to_pixel(ndc, size):
@@ -249,6 +252,18 @@ def project_gaussians(
     r_eff = jnp.ceil(jnp.sqrt(2.0 * ln_term) * sqrt_l1) + 1.0
     radii_bin = jnp.minimum(radii, jnp.where(visible, r_eff, 0.0).astype(jnp.int32))
 
+    # Per-AXIS binning extents (ellipse bounding box at the 1/255 level set):
+    # for PSD conic Q = Sigma^{-1}, min over dy of d^T Q d at fixed dx is
+    # dx^2 / Sigma_xx (conditional-variance identity), so |dx| >
+    # sqrt(2 ln(255 opac) * Sigma_xx) forces alpha < 1/255 for EVERY dy —
+    # same exactness argument as r_eff, axis by axis. The upstream CUDA
+    # getRect uses the isotropic 3-sigma circle; for anisotropic splats the
+    # per-axis box sheds the difference with zero image change.
+    rb = radii_bin.astype(jnp.float32)
+    rx_eff = jnp.minimum(rb, jnp.ceil(jnp.sqrt(2.0 * ln_term * jnp.maximum(cov_xx, 0.0))) + 1.0)
+    ry_eff = jnp.minimum(rb, jnp.ceil(jnp.sqrt(2.0 * ln_term * jnp.maximum(cov_yy, 0.0))) + 1.0)
+    rect_bin = jnp.where(visible[:, None], jnp.stack([rx_eff, ry_eff], axis=-1), 0.0).astype(jnp.int32)
+
     # Color: precomputed override or SH evaluated along the view direction
     # (degree-1 fast path expanded SoA; higher degrees fall back to eval_sh).
     if colors_precomp is not None:
@@ -286,4 +301,5 @@ def project_gaussians(
         rgbs=rgbs,
         opacities=opac,
         radii_bin=radii_bin,
+        rect_bin=rect_bin,
     )

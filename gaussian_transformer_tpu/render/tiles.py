@@ -50,12 +50,19 @@ class Binned(NamedTuple):
 
 
 def compute_rects(means2d: jnp.ndarray, radii: jnp.ndarray, grid_w: int, grid_h: int):
-    """Per-Gaussian covered tile range [min, max) (upstream getRect behavior)."""
+    """Per-Gaussian covered tile range [min, max) (upstream getRect behavior).
+
+    ``radii`` may be a scalar radius per Gaussian [C] (the upstream circle)
+    or per-axis extents [C, 2] (the ellipse bounding box from
+    project.Projected.rect_bin — exact-semantics shrink for anisotropic
+    splats)."""
     r = radii.astype(means2d.dtype)
-    min_x = jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, grid_w).astype(jnp.int32)
-    min_y = jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, grid_h).astype(jnp.int32)
-    max_x = jnp.clip(jnp.floor((means2d[:, 0] + r + TILE - 1) / TILE), 0, grid_w).astype(jnp.int32)
-    max_y = jnp.clip(jnp.floor((means2d[:, 1] + r + TILE - 1) / TILE), 0, grid_h).astype(jnp.int32)
+    rx = r[:, 0] if r.ndim == 2 else r
+    ry = r[:, 1] if r.ndim == 2 else r
+    min_x = jnp.clip(jnp.floor((means2d[:, 0] - rx) / TILE), 0, grid_w).astype(jnp.int32)
+    min_y = jnp.clip(jnp.floor((means2d[:, 1] - ry) / TILE), 0, grid_h).astype(jnp.int32)
+    max_x = jnp.clip(jnp.floor((means2d[:, 0] + rx + TILE - 1) / TILE), 0, grid_w).astype(jnp.int32)
+    max_y = jnp.clip(jnp.floor((means2d[:, 1] + ry + TILE - 1) / TILE), 0, grid_h).astype(jnp.int32)
     return min_x, min_y, max_x, max_y
 
 
