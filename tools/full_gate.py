@@ -155,6 +155,10 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     scene_dir = os.path.join(args.work, "scene")
     model_dir = os.path.join(args.work, "model")
+    # A stale model dir from a previous attempt would satisfy the PLY parse
+    # below even if this run's train crashed — start clean.
+    import shutil
+    shutil.rmtree(model_dir, ignore_errors=True)
     log_path = os.path.join(args.out, "full_gate.md")
     log = open(log_path, "w")
     log.write(
